@@ -1,0 +1,249 @@
+"""Configuration tree for the aide_tpu engine.
+
+One typed config replaces the reference's per-script argparse blocks
+(~20 flags each, e.g. /root/reference/train_files/trainchaos_proposed_30cases1labeled.py:28-61).
+Every reference flag has a counterpart here; TPU-specific knobs (mesh shape,
+compute dtype, TTA view count) are additions.
+
+Configs are plain dataclasses so they can be built in Python, loaded from
+JSON, or overridden from the CLI with dotted ``key=value`` pairs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence, Tuple
+
+
+@dataclass
+class ModelConfig:
+    """Network architecture selection.
+
+    ``name`` covers the reference model zoo:
+      single-modal : unet, unetsa, unet2, unet4, unet8, unet16, unet32, unet128
+        (/root/reference/models_singlemodalinput/__init__.py:1)
+      two-modal    : fuseunet, fuseunetsa, fuseunetsaseparate
+        (/root/reference/models_twomodalinputs/__init__.py:1)
+    The width variants are one parameterized class here (``base_width``).
+    """
+
+    name: str = "fuseunet"
+    num_classes: int = 2
+    base_width: int = 64          # encoder level-1 channels (UNet) / 32 for fuse
+    learned_bilinear: bool = False  # ConvTranspose upsampling instead of resize+conv
+    attention_reduction: int = 16
+    attention_dilation: int = 4
+    # 'batch' reproduces the reference's BatchNorm2d (cross-replica synced on
+    # the data axis); 'group' is the recommended option for tiny per-device
+    # batches.
+    norm: str = "batch"
+    group_norm_groups: int = 8
+    # bfloat16 compute with float32 params/statistics is the TPU-native default.
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+
+
+@dataclass
+class DataConfig:
+    """Dataset + augmentation. Mirrors the reference transform pipelines
+    (e.g. /root/reference/datasetchaos_proposed/transform.py)."""
+
+    task: str = "chaos"           # chaos | prostate | kidney | breast | synthetic
+    variant: str = "proposed"     # proposed (dual working labels) | comparison
+    root: str = ""
+    train_csv: str = ""
+    test_csv: str = ""
+    traincase_csv: str = ""
+    testcase_csv: str = ""
+    labelcase_csv: str = ""
+    tempmask_folder: str = ""     # on-disk mirror of refreshed working labels
+    img_size: int = 256
+    batch_size: int = 4
+    eval_batch_size: int = 8
+    rotation_degree: float = 60.0   # RandomRotate bound (±)
+    hflip_prob: float = 0.5
+    # None => per-image mean/std normalization (the reference default,
+    # transform.py:146-158); otherwise fixed per-channel stats.
+    data_mean: Optional[Tuple[float, ...]] = None
+    data_std: Optional[Tuple[float, ...]] = None
+    num_tta_views: int = 4          # augset 'augno' (dataset.py:65-83)
+    mask_identity: int = 1          # kidney annotator selection (1..3)
+    shuffle_seed: int = 0
+    # When True the main training view is also randomly augmented on device.
+    # The reference augments only the TTA copies; the main image gets
+    # resize+normalize only (trainchaos_proposed_30cases1labeled.py:191-197).
+    augment_main: bool = False
+
+
+@dataclass
+class OptimConfig:
+    """Adam(amsgrad) + StepLR/PolyLR, matching the reference defaults
+    (trainchaos_proposed_30cases1labeled.py:231-240)."""
+
+    lr: float = 1e-4
+    optimizer: str = "amsgrad_adam"   # amsgrad_adam | adam | sgd
+    lr_policy: str = "StepLR"         # StepLR | PolyLR | None
+    step_size: int = 30
+    step_gamma: float = 0.5
+    poly_power: float = 0.9
+    weight_decay: float = 0.0
+    grad_clip_norm: Optional[float] = None
+
+
+@dataclass
+class CoteachConfig:
+    """The AIDE dual-network cross co-teaching algorithm knobs
+    (trainchaos_proposed_30cases1labeled.py:245-341)."""
+
+    enabled: bool = True
+    warmup_epochs: int = 20           # rate = min((e/warmup)^2, 1)
+    temperature: float = 1.0          # pseudo-label sharpening
+    # exponent convention: 'pow_t' = mask**T (chaos/prostate trainers),
+    # 'pow_inv_t' = mask**(1/T) (kidney/breast trainers). Identical at T=1.
+    sharpen_mode: str = "pow_t"
+    seg_weight: float = 1.0           # segcor_weight[0]
+    consistency_weight: float = 10.0  # segcor_weight[1]
+    cedice_weight: Tuple[float, float] = (1.0, 1.0)
+    ceclass_weight: Tuple[float, ...] = (1.0, 1.0)
+    diceclass_weight: Tuple[float, ...] = (1.0, 1.0)
+    # fraction of the batch treated as "clean" in the small-loss exchange.
+    # The reference hardcodes 2 of batch 4 (":307-310"); breast uses
+    # batch_size/2 (trainbreast_dataset3_proposed_272cases25labeled.py:304).
+    clean_fraction: float = 0.5
+    # label-refresh policy (:528-575): worst `update_percent` of train cases,
+    # every epoch during warmup then every `refresh_interval` epochs.
+    update_percent: float = 0.25
+    refresh_interval: int = 10
+    # BN statistics used for the TTA forwards: 'batch' matches the flagship
+    # trainer (nets stay in train mode during TTA); 'running' matches the
+    # kidney trainers' explicit net.eval() (trainkidney_proposed_mask1.py:267).
+    tta_bn: str = "batch"
+
+
+@dataclass
+class EvalConfig:
+    """Case-wise 3D evaluation (evalchaos_comparison_1cases.py:143-243)."""
+
+    keep_largest_cc: bool = True
+    threshold: float = 0.5
+    save_png: bool = True
+    png_scale: int = 63               # foreground stored as fg*63 (":549")
+    output_dir: str = "segmentation_results"
+    # slice batches are padded to multiples of this to bound recompilation
+    slice_bucket: int = 8
+
+
+@dataclass
+class MeshConfig:
+    """Device mesh. The reference's only multi-device story is single-host
+    DataParallel (SURVEY §0); here data-parallelism runs over an ICI mesh."""
+
+    data_axis: str = "data"
+    num_devices: int = 0              # 0 => all available devices
+    # Optional (axis, size) pairs beyond data parallel, reserved for scaling.
+    extra_axes: Tuple[Tuple[str, int], ...] = ()
+
+
+@dataclass
+class TrainConfig:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    coteach: CoteachConfig = field(default_factory=CoteachConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    num_epochs: int = 100
+    seed: int = 2                     # --torch_seed default
+    repetition: int = 200             # experiment id suffix
+    checkpoint_dir: str = "checkpoints"
+    history_dir: str = "history"
+    resume_file: str = ""             # warm start (trainkidney_proposed_mask1.py:51)
+    log_every_steps: int = 50
+    # kidney trainers gate checkpointing until train dice bottoms out
+    # (trainkidney_proposed_mask1.py:436-464)
+    ascending_checkpoint_gate: bool = False
+
+    @property
+    def experiment_name(self) -> str:
+        return "{}_temp{}_r{}".format(
+            self.model.name, self.coteach.temperature, self.repetition
+        )
+
+    # ---------------- serialization / overrides ----------------
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self, **kw) -> str:
+        return json.dumps(self.to_dict(), **kw)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "TrainConfig":
+        return _build(cls, d)
+
+    @classmethod
+    def from_json(cls, s: str) -> "TrainConfig":
+        return cls.from_dict(json.loads(s))
+
+    def override(self, pairs: Sequence[str]) -> "TrainConfig":
+        """Apply CLI-style dotted overrides, e.g. ``optim.lr=3e-4``."""
+        d = self.to_dict()
+        for pair in pairs:
+            if "=" not in pair:
+                raise ValueError(f"override must be key=value, got {pair!r}")
+            key, raw = pair.split("=", 1)
+            node = d
+            parts = key.strip().split(".")
+            for p in parts[:-1]:
+                if p not in node:
+                    raise KeyError(f"unknown config section {p!r} in {key!r}")
+                node = node[p]
+            leaf = parts[-1]
+            if leaf not in node:
+                raise KeyError(f"unknown config key {key!r}")
+            node[leaf] = _coerce(raw, node[leaf])
+        return TrainConfig.from_dict(d)
+
+
+def _coerce(raw: str, prev: Any) -> Any:
+    raw = raw.strip()
+    if isinstance(prev, bool):
+        return raw.lower() in ("1", "true", "yes", "on")
+    if prev is None or raw.lower() in ("none", "null"):
+        try:
+            return json.loads(raw)
+        except (json.JSONDecodeError, ValueError):
+            return None if raw.lower() in ("none", "null") else raw
+    if isinstance(prev, (list, tuple)):
+        val = json.loads(raw)
+        return tuple(val) if isinstance(prev, tuple) else val
+    if isinstance(prev, int) and not isinstance(prev, bool):
+        return int(raw)
+    if isinstance(prev, float):
+        return float(raw)
+    return raw
+
+
+def _build(cls, d: dict):
+    """Recursively build nested dataclasses from a plain dict."""
+    import typing
+
+    hints = typing.get_type_hints(cls)
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        ftype = hints.get(f.name, f.type)
+        if dataclasses.is_dataclass(ftype) and isinstance(v, dict):
+            kwargs[f.name] = _build(ftype, v)
+        elif isinstance(v, list):
+            kwargs[f.name] = tuple(
+                tuple(x) if isinstance(x, list) else x for x in v
+            )
+        else:
+            kwargs[f.name] = v
+    return cls(**kwargs)

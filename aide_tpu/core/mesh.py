@@ -1,0 +1,61 @@
+"""Device mesh construction and sharding helpers.
+
+The reference scales only via single-host ``torch.nn.DataParallel``
+(/root/reference/train_files/trainchaos_proposed_30cases1labeled.py:183-186).
+Here the equivalent is a data-parallel `jax.sharding.Mesh`: batches are
+sharded over the ``data`` axis, parameters are replicated, and gradient
+reduction is an XLA ``psum`` riding ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from aide_tpu.core.config import MeshConfig
+
+
+def make_mesh(cfg: Optional[MeshConfig] = None, devices=None) -> Mesh:
+    """Build a 1-D (or extended) mesh over the available devices."""
+    cfg = cfg or MeshConfig()
+    if devices is None:
+        devices = jax.devices()
+    n = cfg.num_devices or len(devices)
+    devices = devices[:n]
+
+    axis_names = [cfg.data_axis]
+    axis_sizes = []
+    extra = 1
+    for name, size in cfg.extra_axes:
+        axis_names.append(name)
+        axis_sizes.append(size)
+        extra *= size
+    if n % extra != 0:
+        raise ValueError(f"{n} devices not divisible by extra axes {cfg.extra_axes}")
+    shape = [n // extra] + axis_sizes
+    mesh_devices = np.asarray(devices).reshape(shape)
+    return Mesh(mesh_devices, tuple(axis_names))
+
+
+def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dimension over the data axis."""
+    return NamedSharding(mesh, P(data_axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, data_axis: str = "data"):
+    """Place a pytree of host arrays on the mesh, batch-sharded on axis 0."""
+    sharding = batch_sharding(mesh, data_axis)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch
+    )
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m

@@ -1,0 +1,226 @@
+"""Segmentation losses, functional and jit-friendly.
+
+Re-implements the semantics of the reference loss library
+(/root/reference/utils/loss2d.py, /root/reference/utils/coteach_loss.py:7-83)
+in NHWC layout: ``logits (B, H, W, C)``, integer targets ``(B, H, W)`` or
+one-hot targets ``(B, H, W, C)``.
+
+Reduction conventions follow torch:
+  * ``mean`` over images (Dice) / weighted mean over pixels (CE)
+  * ``sum`` over images
+  * ``none`` returns per-image vectors (Dice) or per-pixel maps (CE)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def _as_class_indices(targets: jnp.ndarray) -> jnp.ndarray:
+    """One-hot (B,H,W,C) -> indices (B,H,W); pass through integer maps.
+
+    Matches CrossEntropyLoss2d's 4-D handling (loss2d.py:11-12).
+    """
+    if targets.ndim == 4:
+        return jnp.argmax(targets, axis=-1)
+    return targets
+
+
+def _reduce_per_image(loss: jnp.ndarray, reduction: str) -> jnp.ndarray:
+    if reduction == "mean":
+        return jnp.mean(loss)
+    if reduction == "sum":
+        return jnp.sum(loss)
+    if reduction == "none":
+        return loss
+    raise ValueError(f"unknown reduction {reduction!r}")
+
+
+def cross_entropy_2d(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    class_weight: Optional[Sequence[float]] = None,
+    reduction: str = "mean",
+    ignore_index: int = 255,
+) -> jnp.ndarray:
+    """Pixelwise cross entropy over the class axis (loss2d.py:5-13).
+
+    With ``class_weight`` and ``reduction='mean'`` this reproduces torch's
+    weighted mean: sum(w_t * ce) / sum(w_t) over non-ignored pixels.
+    """
+    targets = _as_class_indices(targets).astype(jnp.int32)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    valid = (targets != ignore_index).astype(logp.dtype)
+    safe_t = jnp.where(targets == ignore_index, 0, targets)
+    nll = -jnp.take_along_axis(logp, safe_t[..., None], axis=-1)[..., 0]
+    if class_weight is not None:
+        w = jnp.asarray(class_weight, dtype=nll.dtype)[safe_t]
+    else:
+        w = jnp.ones_like(nll)
+    w = w * valid
+    loss = nll * w
+    if reduction == "mean":
+        return jnp.sum(loss) / jnp.maximum(jnp.sum(w), 1e-12)
+    if reduction == "sum":
+        return jnp.sum(loss)
+    if reduction == "none":
+        return loss
+    raise ValueError(f"unknown reduction {reduction!r}")
+
+
+def soft_dice_from_probs(
+    fg_probs: jnp.ndarray,
+    targets: jnp.ndarray,
+    smooth: float = 1.0,
+    reduction: str = "mean",
+) -> jnp.ndarray:
+    """Binary soft Dice on precomputed probabilities (DiceLoss 3-D branch,
+    loss2d.py:47-52)."""
+    n = fg_probs.shape[0]
+    iflat = fg_probs.reshape(n, -1).astype(jnp.float32)
+    tflat = targets.reshape(n, -1).astype(jnp.float32)
+    inter = jnp.sum(iflat * tflat, axis=1)
+    loss = 1.0 - (2.0 * inter + smooth) / (
+        jnp.sum(iflat, axis=1) + jnp.sum(tflat, axis=1) + smooth
+    )
+    return _reduce_per_image(loss, reduction)
+
+
+def dice_loss(
+    logits_or_probs: jnp.ndarray,
+    targets: jnp.ndarray,
+    smooth: float = 1.0,
+    reduction: str = "mean",
+) -> jnp.ndarray:
+    """DiceLoss (loss2d.py:35-61): 4-D input => softmax then foreground
+    channel; 3-D input => used as probabilities directly."""
+    if logits_or_probs.ndim == 4:
+        probs = jax.nn.softmax(logits_or_probs.astype(jnp.float32), axis=-1)
+        fg = probs[..., 1]
+    else:
+        fg = logits_or_probs
+    return soft_dice_from_probs(fg, targets, smooth, reduction)
+
+
+def multiclass_dice_loss(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    class_weight: Optional[Sequence[float]] = None,
+    smooth: float = 1.0,
+    reduction: str = "mean",
+) -> jnp.ndarray:
+    """MulticlassDiceLoss (loss2d.py:87-107): softmax over classes, then
+    per-class binary Dice summed over classes (one-hot targets) or the
+    foreground-channel Dice (integer/binary targets)."""
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    if targets.ndim == 4:
+        c = targets.shape[-1]
+        total = 0.0
+        for i in range(c):
+            d = soft_dice_from_probs(
+                probs[..., i], targets[..., i], smooth, reduction
+            )
+            if class_weight is not None:
+                d = d * class_weight[i]
+            total = total + d
+        return total
+    return soft_dice_from_probs(probs[..., 1], targets, smooth, reduction)
+
+
+def multiclass_mse_loss(
+    logits: jnp.ndarray,
+    target_probs: jnp.ndarray,
+    reduction: str = "mean",
+) -> jnp.ndarray:
+    """Softmax-MSE consistency loss (MulticlassMSELoss, loss2d.py:109-117)."""
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    sq = (probs - target_probs.astype(jnp.float32)) ** 2
+    if reduction == "mean":
+        return jnp.mean(sq)
+    if reduction == "sum":
+        return jnp.sum(sq)
+    if reduction == "none":
+        return sq
+    raise ValueError(f"unknown reduction {reduction!r}")
+
+
+def cem_dice_loss(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    cedice_weight: Sequence[float] = (1.0, 1.0),
+    ceclass_weight: Optional[Sequence[float]] = None,
+    diceclass_weight: Optional[Sequence[float]] = None,
+) -> jnp.ndarray:
+    """CE + multiclass Dice, scalar (CEMDiceLoss, loss2d.py:119-135)."""
+    ce = cross_entropy_2d(logits, targets, ceclass_weight, reduction="mean")
+    dc = multiclass_dice_loss(logits, targets, diceclass_weight, reduction="mean")
+    return ce * cedice_weight[0] + dc * cedice_weight[1]
+
+
+def cem_dice_loss_image(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    cedice_weight: Sequence[float] = (1.0, 1.0),
+    ceclass_weight: Optional[Sequence[float]] = None,
+    diceclass_weight: Optional[Sequence[float]] = None,
+) -> jnp.ndarray:
+    """Per-image CE+Dice loss vector (CEMDiceLossImage, loss2d.py:137-154) —
+    the ranking signal for small-loss sample selection. Returns (B,)."""
+    ce_map = cross_entropy_2d(logits, targets, ceclass_weight, reduction="none")
+    ce = jnp.mean(ce_map, axis=(1, 2))
+    dc = multiclass_dice_loss(logits, targets, diceclass_weight, reduction="none")
+    return ce * cedice_weight[0] + dc * cedice_weight[1]
+
+
+def ce_dice_loss(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    cedice_weight: Sequence[float] = (1.0, 1.0),
+    class_weight: Optional[Sequence[float]] = None,
+) -> jnp.ndarray:
+    """CE + binary Dice (CEDiceLoss, loss2d.py:156-171)."""
+    ce = cross_entropy_2d(logits, targets, class_weight, reduction="mean")
+    dc = dice_loss(logits, targets, reduction="mean")
+    return ce * cedice_weight[0] + dc * cedice_weight[1]
+
+
+def focal_loss(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    weight1: float = 1.0,
+    weight2: float = 1.0,
+    beta: float = 2.0,
+    reduction: str = "mean",
+) -> jnp.ndarray:
+    """Binary focal loss with the reference's (unconventional) cross-class
+    modulation (coteach_loss.py:25-48): the background log-term is modulated
+    by the foreground probability and vice versa."""
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    t = targets.astype(jnp.float32)
+    loss = (
+        -weight1 * jnp.power(probs[..., 1], beta) * logp[..., 0] * (1.0 - t)
+        - weight2 * jnp.power(probs[..., 0], beta) * logp[..., 1] * t
+    )
+    if reduction == "mean":
+        return jnp.mean(loss)
+    if reduction == "sum":
+        return jnp.sum(loss)
+    if reduction == "none":
+        return loss
+    raise ValueError(f"unknown reduction {reduction!r}")
+
+
+def kl_bidirectional(logits1: jnp.ndarray, logits2: jnp.ndarray) -> jnp.ndarray:
+    """Symmetric KL between two nets' softmax outputs, summed over classes
+    (KLbidirection, coteach_loss.py:85-92). Computed in log-space for
+    numerical stability (the reference divides raw softmaxes)."""
+    lp1 = jax.nn.log_softmax(logits1.astype(jnp.float32), axis=-1)
+    lp2 = jax.nn.log_softmax(logits2.astype(jnp.float32), axis=-1)
+    p1, p2 = jnp.exp(lp1), jnp.exp(lp2)
+    kl12 = jnp.sum(p1 * (lp1 - lp2), axis=-1)
+    kl21 = jnp.sum(p2 * (lp2 - lp1), axis=-1)
+    return kl12 + kl21
