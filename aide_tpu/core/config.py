@@ -31,7 +31,9 @@ class ModelConfig:
 
     name: str = "fuseunet"
     num_classes: int = 2
-    base_width: int = 64          # encoder level-1 channels (UNet) / 32 for fuse
+    # encoder level-1 channels; 0 = model default (64 for UNet, 32 for
+    # FuseUNet, matching the reference widths)
+    base_width: int = 0
     learned_bilinear: bool = False  # ConvTranspose upsampling instead of resize+conv
     attention_reduction: int = 16
     attention_dilation: int = 4
@@ -83,6 +85,7 @@ class OptimConfig:
     (trainchaos_proposed_30cases1labeled.py:231-240)."""
 
     lr: float = 1e-4
+    loss: str = "cedice"              # ce | dice | cedice (criterion select)
     optimizer: str = "amsgrad_adam"   # amsgrad_adam | adam | sgd
     lr_policy: str = "StepLR"         # StepLR | PolyLR | None
     step_size: int = 30

@@ -1,0 +1,128 @@
+"""Model shape / variant / registry tests (tiny widths for the 1-CPU host)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aide_tpu.core.config import ModelConfig
+from aide_tpu.models import UNet, FuseUNet, build_model, is_two_modal, MODELS
+
+
+def _init_apply(model, *inputs):
+    variables = model.init(jax.random.key(0), *inputs, train=False)
+    out, updates = model.apply(
+        variables, *inputs, train=True, mutable=["batch_stats"]
+    )
+    return variables, out, updates
+
+
+class TestUNet:
+    def test_shapes_and_dtype(self):
+        model = UNet(num_classes=2, base_width=4, compute_dtype="float32")
+        x = jnp.zeros((2, 32, 32, 3))
+        variables, out, _ = _init_apply(model, x)
+        assert out.shape == (2, 32, 32, 2)
+        assert out.dtype == jnp.float32
+        assert "batch_stats" in variables
+
+    def test_width_scaling_param_count(self):
+        """Doubling base_width ~4x the parameters (conv-dominated)."""
+
+        def count(width):
+            m = UNet(num_classes=2, base_width=width, compute_dtype="float32")
+            v = m.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)), train=False)
+            return sum(x.size for x in jax.tree_util.tree_leaves(v["params"]))
+
+        c2, c4 = count(2), count(4)
+        assert 3.0 < c4 / c2 < 4.5
+
+    def test_spatial_attention_variant(self):
+        model = UNet(
+            num_classes=2, base_width=16, spatial_attention=True,
+            compute_dtype="float32",
+        )
+        x = jnp.zeros((1, 32, 32, 3))
+        _, out, _ = _init_apply(model, x)
+        assert out.shape == (1, 32, 32, 2)
+
+    def test_group_norm_no_batch_stats(self):
+        model = UNet(num_classes=2, base_width=4, norm="group", compute_dtype="float32")
+        v = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)), train=False)
+        assert "batch_stats" not in v
+
+    def test_bfloat16_compute_fp32_params(self):
+        model = UNet(num_classes=2, base_width=4, compute_dtype="bfloat16")
+        x = jnp.zeros((1, 16, 16, 3))
+        v = model.init(jax.random.key(0), x, train=False)
+        leaves = jax.tree_util.tree_leaves(v["params"])
+        assert all(l.dtype == jnp.float32 for l in leaves)
+        out = model.apply(v, x, train=False)
+        assert out.dtype == jnp.float32  # head casts logits back
+
+    def test_learned_bilinear(self):
+        model = UNet(
+            num_classes=2, base_width=4, learned_bilinear=True,
+            compute_dtype="float32",
+        )
+        _, out, _ = _init_apply(model, jnp.zeros((1, 16, 16, 3)))
+        assert out.shape == (1, 16, 16, 2)
+
+
+class TestFuseUNet:
+    @pytest.mark.parametrize("variant", ["plain", "sa", "sa_separate"])
+    def test_variants(self, variant):
+        model = FuseUNet(
+            num_classes=2, base_width=4, variant=variant, compute_dtype="float32"
+        )
+        a = jnp.zeros((1, 32, 32, 3))
+        b = jnp.zeros((1, 32, 32, 3))
+        _, out, _ = _init_apply(model, a, b)
+        assert out.shape == (1, 32, 32, 2)
+
+    def test_modal1_encoder_sees_fused_channels(self):
+        """'plain' modal-1 level-2 block input is 2*w channels (fused);
+        'sa_separate' keeps it at w (fuseunet.py:14 vs :219)."""
+        def kernel_in(variant):
+            m = FuseUNet(num_classes=2, base_width=4, variant=variant, compute_dtype="float32")
+            v = m.init(
+                jax.random.key(0),
+                jnp.zeros((1, 16, 16, 3)),
+                jnp.zeros((1, 16, 16, 3)),
+                train=False,
+            )
+            return v["params"]["modal1_block2"]["Conv_0"]["kernel"].shape[2]
+
+        assert kernel_in("plain") == 8      # fused 2*w
+        assert kernel_in("sa_separate") == 4  # separate w
+
+    def test_bad_variant_raises(self):
+        model = FuseUNet(variant="nope", compute_dtype="float32")
+        with pytest.raises(ValueError, match="variant"):
+            model.init(
+                jax.random.key(0),
+                jnp.zeros((1, 16, 16, 3)),
+                jnp.zeros((1, 16, 16, 3)),
+                train=False,
+            )
+
+
+class TestRegistry:
+    def test_all_reference_models_registered(self):
+        expected = {
+            "unet", "unetsa", "unet2", "unet4", "unet8", "unet16",
+            "unet32", "unet128", "fuseunet", "fuseunetsa",
+            "fuseunetsaseparate",
+        }
+        assert expected <= set(MODELS.names())
+
+    def test_build_from_config(self):
+        cfg = ModelConfig(name="unet8", num_classes=5, compute_dtype="float32")
+        model = build_model(cfg)
+        assert isinstance(model, UNet)
+        assert model.base_width == 8
+        assert model.num_classes == 5
+
+    def test_two_modal_detection(self):
+        assert is_two_modal("fuseunetsa")
+        assert not is_two_modal("unet32")
