@@ -1,0 +1,184 @@
+"""Host-side data pipeline: decode-once cache, batching, working labels.
+
+TPU-first redesign of the reference's per-sample DataLoader path
+(/root/reference/datasetchaos_proposed/dataset.py:23-107): every slice is
+decoded, resized, and normalized ONCE into an in-RAM NumPy cache at
+construction; epochs then only index into arrays. All augmentation happens
+on device (ops/warp.py), so the host — a single CPU on typical TPU VMs
+per-chip share — never touches PIL in the hot loop.
+
+The per-net "working labels" of the proposed trainers (mask1/mask2 with
+on-disk tempmask override, dataset.py:37-56) live in a LabelStore: RAM
+arrays for training, mirrored to disk in the reference's exact per-task file
+conventions on refresh, so runs remain resumable and interoperable.
+
+Normalization: per-image channel mean/std by default (transform.py:146-158;
+std uses the N-1 estimator to match torch), or fixed stats from config. The
+normalized zero-fill values (0-mean)/std ride along with every batch so
+device-side warps fill borders exactly like normalize-after-rotate.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from aide_tpu.data.tasks.base import SliceSpec, Task, resize_image, resize_mask
+
+
+class LabelStore:
+    """Per-net working labels (N, H, W) + disk mirror via the task."""
+
+    def __init__(self, task: Task, specs: Sequence[SliceSpec], targets: np.ndarray):
+        self.task = task
+        self.specs = list(specs)
+        size = targets.shape[1]
+        self.labels = [targets.copy(), targets.copy()]  # net 1, net 2
+        # pick up any refreshed labels already on disk (resume / interop)
+        for net in (1, 2):
+            for i, spec in enumerate(self.specs):
+                disk = task.read_tempmask(spec, net)
+                if disk is not None:
+                    if disk.shape != targets.shape[1:]:
+                        disk = resize_mask(disk, size)
+                    self.labels[net - 1][i] = disk
+
+    def get(self, net: int) -> np.ndarray:
+        return self.labels[net - 1]
+
+    def refresh_case(
+        self, net: int, indices: Sequence[int], volume: np.ndarray, mirror: bool = True
+    ) -> None:
+        """Replace the working labels of one case (indices into the slice
+        table; volume (S, H, W) binary at img_size) and mirror to disk."""
+        lab = self.labels[net - 1]
+        for i, sl in zip(indices, volume):
+            lab[i] = sl.astype(np.uint8)
+        if mirror and self.task.tempmask_folder:
+            specs = [self.specs[i] for i in indices]
+            self.task.write_case_tempmask(specs, volume.astype(np.uint8), net)
+
+
+class SlicePipeline:
+    def __init__(
+        self,
+        task: Task,
+        specs: Sequence[SliceSpec],
+        img_size: int,
+        data_mean: Optional[Sequence[float]] = None,
+        data_std: Optional[Sequence[float]] = None,
+        working_labels: bool = False,
+    ):
+        self.task = task
+        self.specs = list(specs)
+        self.img_size = img_size
+        n = len(self.specs)
+        if n == 0:
+            raise ValueError("empty manifest")
+
+        n_mod = 2 if task.two_modal else 1
+        self.images = [
+            np.zeros((n, img_size, img_size, 3), np.float32) for _ in range(n_mod)
+        ]
+        self.fills = [np.zeros((n, 3), np.float32) for _ in range(n_mod)]
+        self.targets = np.zeros((n, img_size, img_size), np.uint8)
+
+        fixed = data_mean is not None
+        mean_arr = np.asarray(data_mean, np.float32) if fixed else None
+        std_arr = np.asarray(data_std, np.float32) if fixed else None
+
+        for i, spec in enumerate(self.specs):
+            imgs, mask = task.decode(spec)
+            for m, img in enumerate(imgs):
+                resized = resize_image(img, img_size) / 255.0
+                if fixed:
+                    mean, std = mean_arr, std_arr
+                else:
+                    mean = resized.mean(axis=(0, 1))
+                    std = resized.std(axis=(0, 1), ddof=1)
+                std = np.maximum(std, 1e-6)
+                self.images[m][i] = (resized - mean) / std
+                self.fills[m][i] = -mean / std
+            self.targets[i] = resize_mask(mask, img_size)
+
+        # case grouping (sorted within case by sort_key)
+        self.case_slices: Dict[str, List[int]] = {}
+        for i, spec in enumerate(self.specs):
+            self.case_slices.setdefault(spec.case_id, []).append(i)
+        for case, idxs in self.case_slices.items():
+            idxs.sort(key=lambda i: self.specs[i].sort_key)
+        self.cases = list(self.case_slices)
+
+        self.labels: Optional[LabelStore] = (
+            LabelStore(task, self.specs, self.targets) if working_labels else None
+        )
+
+    def __len__(self) -> int:
+        return len(self.specs)
+
+    # ------------------------- batching -------------------------
+
+    def _batch_from(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
+        batch: Dict[str, np.ndarray] = {}
+        if self.task.two_modal:
+            batch["modal1"] = self.images[0][idx]
+            batch["modal2"] = self.images[1][idx]
+            batch["fill1"] = self.fills[0][idx]
+            batch["fill2"] = self.fills[1][idx]
+        else:
+            batch["image"] = self.images[0][idx]
+            batch["fill"] = self.fills[0][idx]
+        batch["target"] = self.targets[idx].astype(np.int32)
+        if self.labels is not None:
+            batch["target1"] = self.labels.get(1)[idx].astype(np.int32)
+            batch["target2"] = self.labels.get(2)[idx].astype(np.int32)
+        return batch
+
+    def batches(
+        self,
+        batch_size: int,
+        rng: Optional[np.random.Generator] = None,
+        shuffle: bool = True,
+        drop_last: bool = True,
+    ):
+        """Epoch iterator (shuffle + drop_last matching the reference's
+        train DataLoader, trainchaos_proposed_30cases1labeled.py:207-210)."""
+        n = len(self.specs)
+        order = np.arange(n)
+        if shuffle:
+            if rng is None:
+                rng = np.random.default_rng(0)
+            rng.shuffle(order)
+        end = (n // batch_size) * batch_size if drop_last else n
+        for s in range(0, end, batch_size):
+            yield self._batch_from(order[s : s + batch_size])
+
+    def steps_per_epoch(self, batch_size: int, drop_last: bool = True) -> int:
+        n = len(self.specs)
+        return n // batch_size if drop_last else -(-n // batch_size)
+
+    # ------------------------- case access -------------------------
+
+    def case_indices(self, case_id: str) -> List[int]:
+        return self.case_slices[str(case_id)]
+
+    def case_batches(self, case_id: str, batch_size: int):
+        """Slice batches of one case, padded to ``batch_size`` with a
+        validity mask (static shapes for the jitted predict step)."""
+        idxs = self.case_indices(case_id)
+        for s in range(0, len(idxs), batch_size):
+            chunk = idxs[s : s + batch_size]
+            pad = batch_size - len(chunk)
+            sel = np.asarray(chunk + [chunk[-1]] * pad)
+            batch = self._batch_from(sel)
+            valid = np.zeros(batch_size, bool)
+            valid[: len(chunk)] = True
+            yield batch, valid
+
+    def case_targets(self, case_id: str, net: Optional[int] = None) -> np.ndarray:
+        """(S, H, W) stacked working labels (or GT if net is None)."""
+        idxs = self.case_indices(case_id)
+        src = self.targets if net is None else self.labels.get(net)
+        return src[idxs]

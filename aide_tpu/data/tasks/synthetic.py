@@ -1,0 +1,126 @@
+"""Synthetic ellipse-segmentation task (no files needed).
+
+Fills the reference's testing gap (SURVEY §4: it ships no test suite, only
+golden artifacts): a deterministic generated dataset with the same contract
+as the real tasks — cases, slices, clean or noisy labels, two-modal option,
+tempmask disk mirror — usable for unit tests, end-to-end convergence tests,
+and benchmarking without medical data.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from aide_tpu.core.registry import TASKS
+from aide_tpu.data.io import png
+from aide_tpu.data.tasks.base import SliceSpec, Task, gray_to_rgb
+
+
+@TASKS.register("synthetic")
+class SyntheticTask(Task):
+    name = "synthetic"
+    two_modal = False
+
+    def __init__(
+        self,
+        root: str = "",
+        tempmask_folder: str = "tempmasks",
+        two_modal: bool = False,
+        num_cases: int = 6,
+        slices_per_case: int = 8,
+        size: int = 64,
+        noisy_fraction: float = 0.0,
+        seed: int = 0,
+        **kw,
+    ):
+        super().__init__(root or ".", tempmask_folder)
+        self.two_modal = two_modal
+        self.num_cases = num_cases
+        self.slices_per_case = slices_per_case
+        self.size = size
+        self.noisy_fraction = noisy_fraction
+        self.seed = seed
+
+    # ---- generation ----
+    def _gen(self, case: int, sl: int):
+        rng = np.random.default_rng(
+            (self.seed * 1000003 + case * 1009 + sl) % (2**31)
+        )
+        s = self.size
+        yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
+        cy = s * (0.35 + 0.3 * rng.random())
+        cx = s * (0.35 + 0.3 * rng.random())
+        ry = s * (0.10 + 0.15 * rng.random())
+        rx = s * (0.10 + 0.15 * rng.random())
+        mask = (((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0).astype(
+            np.uint8
+        )
+        base = 60 + 40 * rng.random()
+        img = base + 120.0 * mask + 20.0 * rng.normal(size=(s, s))
+        img = np.clip(img, 0, 255).astype(np.float32)
+        noisy = mask
+        if rng.random() < self.noisy_fraction:
+            # corrupt the label: shift + scale the ellipse
+            dy, dx = rng.integers(-s // 8, s // 8, size=2)
+            noisy = np.roll(np.roll(mask, dy, 0), dx, 1)
+        return img, mask, noisy
+
+    # ---- manifest ----
+    def load_manifest(self, csv_path: str = "", train: bool = True) -> List[SliceSpec]:
+        specs = []
+        i = 0
+        for case in range(self.num_cases):
+            for sl in range(self.slices_per_case):
+                specs.append(
+                    SliceSpec(
+                        index=i,
+                        case_id=f"case{case:02d}",
+                        sort_key=f"case{case:02d}/{sl:03d}",
+                        image_paths=(f"synthetic://{case}/{sl}",),
+                        mask_path=f"synthetic://{case}/{sl}/mask",
+                        depth=sl,
+                        extras={"train": train, "case": case, "slice": sl},
+                    )
+                )
+                i += 1
+        return specs
+
+    # ---- decode ----
+    def decode(self, spec: SliceSpec) -> Tuple[Tuple[np.ndarray, ...], np.ndarray]:
+        img, mask, noisy = self._gen(spec.extras["case"], spec.extras["slice"])
+        label = noisy if spec.extras.get("train", True) else mask
+        rgb = gray_to_rgb(img.astype(np.uint8)).astype(np.float32)
+        if self.two_modal:
+            inv = gray_to_rgb((255 - img).astype(np.uint8)).astype(np.float32)
+            return (rgb, inv), label
+        return (rgb,), label
+
+    def clean_mask(self, spec: SliceSpec) -> np.ndarray:
+        """Oracle ground truth (for test assertions on noisy configs)."""
+        return self._gen(spec.extras["case"], spec.extras["slice"])[1]
+
+    # ---- temp labels (PNG mirror, chaos-style) ----
+    def tempmask_path(self, spec: SliceSpec, net: int) -> str:
+        return os.path.join(
+            self.root,
+            self.tempmask_folder,
+            spec.case_id,
+            f"slice{spec.extras['slice']:03d}_net{net}.png",
+        )
+
+    def read_tempmask(self, spec: SliceSpec, net: int) -> Optional[np.ndarray]:
+        path = self.tempmask_path(spec, net)
+        if not os.path.exists(path):
+            return None
+        return (png.read_mask(path) > 0).astype(np.uint8)
+
+    def write_case_tempmask(
+        self, specs: Sequence[SliceSpec], volume: np.ndarray, net: int
+    ) -> None:
+        for spec, sl in zip(specs, volume):
+            path = self.tempmask_path(spec, net)
+            self._ensure_dir(path)
+            png.write_mask(path, sl, scale=255)

@@ -1,0 +1,157 @@
+"""Pipeline + LabelStore + task tests (synthetic task; real-format mirrors)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from aide_tpu.core.registry import TASKS
+from aide_tpu.data import SlicePipeline
+from aide_tpu.data.tasks.synthetic import SyntheticTask
+from aide_tpu.data.io import read_mask
+
+
+@pytest.fixture
+def task(tmp_path):
+    return SyntheticTask(
+        root=str(tmp_path), num_cases=3, slices_per_case=4, size=48
+    )
+
+
+@pytest.fixture
+def pipe(task):
+    specs = task.load_manifest(train=True)
+    return SlicePipeline(task, specs, img_size=32, working_labels=True)
+
+
+class TestPipeline:
+    def test_cache_shapes(self, pipe):
+        assert pipe.images[0].shape == (12, 32, 32, 3)
+        assert pipe.targets.shape == (12, 32, 32)
+        assert set(np.unique(pipe.targets)) <= {0, 1}
+
+    def test_per_image_normalization(self, pipe):
+        """Each cached image is ~zero-mean unit-std; fill = (0-mean)/std."""
+        img = pipe.images[0][0]
+        assert abs(img.mean()) < 0.05
+        assert 0.9 < img.std() < 1.1
+        # fill value maps raw 0 to normalized space
+        raw_zero = pipe.fills[0][0]
+        assert np.all(raw_zero < 0)  # images have positive means
+
+    def test_fixed_normalization(self, task):
+        specs = task.load_manifest(train=True)
+        p = SlicePipeline(
+            task, specs, img_size=32, data_mean=(0.5, 0.5, 0.5),
+            data_std=(0.25, 0.25, 0.25),
+        )
+        assert np.allclose(p.fills[0], -2.0)
+
+    def test_batches_shapes_and_droplast(self, pipe):
+        batches = list(pipe.batches(5, rng=np.random.default_rng(0)))
+        assert len(batches) == 2  # 12 // 5
+        b = batches[0]
+        assert b["image"].shape == (5, 32, 32, 3)
+        assert b["target1"].shape == (5, 32, 32)
+        assert b["target"].dtype == np.int32
+
+    def test_shuffle_deterministic(self, pipe):
+        a = [b["target"].sum() for b in pipe.batches(4, np.random.default_rng(7))]
+        b = [b["target"].sum() for b in pipe.batches(4, np.random.default_rng(7))]
+        c = [b["target"].sum() for b in pipe.batches(4, np.random.default_rng(8))]
+        assert a == b
+        assert a != c
+
+    def test_case_grouping_sorted(self, pipe):
+        assert pipe.cases == ["case00", "case01", "case02"]
+        idxs = pipe.case_indices("case01")
+        assert len(idxs) == 4
+        keys = [pipe.specs[i].sort_key for i in idxs]
+        assert keys == sorted(keys)
+
+    def test_case_batches_padding(self, pipe):
+        chunks = list(pipe.case_batches("case00", batch_size=3))
+        assert len(chunks) == 2  # 4 slices -> 3 + 1(padded)
+        (_, v1), (_, v2) = chunks
+        assert v1.tolist() == [True, True, True]
+        assert v2.tolist() == [True, False, False]
+
+
+class TestLabelStore:
+    def test_initialized_from_targets(self, pipe):
+        assert np.array_equal(pipe.labels.get(1), pipe.targets)
+        assert np.array_equal(pipe.labels.get(2), pipe.targets)
+
+    def test_refresh_updates_ram_and_disk(self, pipe, task):
+        idxs = pipe.case_indices("case00")
+        new = np.ones((len(idxs), 32, 32), np.uint8)
+        pipe.labels.refresh_case(1, idxs, new)
+        assert pipe.labels.get(1)[idxs[0]].min() == 1
+        # net 2 untouched
+        assert not np.array_equal(pipe.labels.get(2)[idxs[0]], new[0])
+        # disk mirror exists with the task's naming convention
+        p = task.tempmask_path(pipe.specs[idxs[0]], 1)
+        assert os.path.exists(p)
+        assert read_mask(p).max() == 255
+
+    def test_disk_labels_survive_reload(self, pipe, task):
+        idxs = pipe.case_indices("case02")
+        new = np.ones((len(idxs), 32, 32), np.uint8)
+        pipe.labels.refresh_case(2, idxs, new)
+        # a fresh pipeline (same tempmask root) picks the refreshed labels up
+        specs = task.load_manifest(train=True)
+        pipe2 = SlicePipeline(task, specs, img_size=32, working_labels=True)
+        assert pipe2.labels.get(2)[idxs[0]].min() == 1
+        assert pipe2.labels.get(1)[idxs[0]].min() == 0
+
+
+class TestTaskRegistry:
+    def test_all_tasks_registered(self):
+        assert {"chaos", "prostate", "kidney", "breast", "synthetic"} <= set(
+            TASKS.names()
+        )
+
+
+CHAOS_SPLIT = "/root/reference/inputs_chaos/All_Sets_split"
+CHAOS_ROOT = "/root/reference/inputs_chaos/All_Sets"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(os.path.join(CHAOS_ROOT, "10")),
+    reason="shipped CHAOS data not present",
+)
+class TestChaosReal:
+    def test_manifest_and_decode_case10(self):
+        """Build a mini-manifest over shipped case 10 and ingest it."""
+        import glob
+        import pandas as pd
+
+        from aide_tpu.data.tasks.chaos import ChaosTask
+
+        inphase = sorted(
+            glob.glob(f"{CHAOS_ROOT}/10/T1DUAL/DICOM_anon/InPhase/*.dcm")
+        )[:4]
+        rows = []
+        for f in inphase:
+            rel_in = os.path.relpath(f, CHAOS_ROOT)
+            base = os.path.basename(f).split(".")[0]
+            series, num = base.split("-")[1], int(base.split("-")[-1])
+            rel_out = (
+                f"10/T1DUAL/DICOM_anon/OutPhase/IMG-{series}-{num - 1:05d}.dcm"
+            )
+            rel_mask = f"10/T1DUAL/Ground/{base}.png"
+            assert os.path.exists(os.path.join(CHAOS_ROOT, rel_out)), rel_out
+            assert os.path.exists(os.path.join(CHAOS_ROOT, rel_mask)), rel_mask
+            rows.append((rel_in, rel_out, rel_mask))
+        csv = "/tmp/chaos_mini.csv"
+        pd.DataFrame(rows, columns=["Inphase", "Outphase", "Mask"]).to_csv(
+            csv, index=False
+        )
+
+        task = ChaosTask(root=CHAOS_ROOT)
+        specs = task.load_manifest(csv, train=False)
+        assert all(s.case_id == "10" for s in specs)
+        pipe = SlicePipeline(task, specs, img_size=64)
+        assert pipe.images[0].shape == (4, 64, 64, 3)
+        assert pipe.images[1].shape == (4, 64, 64, 3)
+        assert np.isfinite(pipe.images[0]).all()
