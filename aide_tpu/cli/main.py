@@ -1,0 +1,175 @@
+"""Command-line interface: ``aide-tpu {train,eval,presets} ...``.
+
+Replaces the reference's 17 per-script argparse entry points
+(``python train_files/<script>.py --model_name ... --batch_size ...``,
+/root/reference/README.md:40-42) with one CLI: pick a preset (or a config
+JSON), override any field with dotted key=value pairs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from aide_tpu.core.config import TrainConfig
+from aide_tpu.cli.presets import PRESETS, get_preset
+
+
+def _build_config(args) -> TrainConfig:
+    if args.config:
+        with open(args.config) as fh:
+            cfg = TrainConfig.from_json(fh.read())
+    elif args.preset:
+        cfg = get_preset(args.preset, args.data_root)
+    else:
+        cfg = TrainConfig()
+    if args.set:
+        cfg = cfg.override(args.set)
+    return cfg
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--preset", help="named preset (see `aide-tpu presets`)")
+    p.add_argument("--config", help="path to a TrainConfig JSON file")
+    p.add_argument("--data-root", default=".", help="directory containing the dataset folders")
+    p.add_argument(
+        "--set", nargs="*", default=[], metavar="KEY=VALUE",
+        help="dotted config overrides, e.g. optim.lr=3e-4 data.batch_size=8",
+    )
+
+
+def cmd_train(args) -> int:
+    cfg = _build_config(args)
+    from aide_tpu.engine.trainer import Trainer
+
+    task = _maybe_synthetic_task(cfg)
+    trainer = Trainer(cfg, task=task)
+    trainer.run(args.epochs or cfg.num_epochs)
+    return 0
+
+
+def cmd_eval(args) -> int:
+    """Offline eval: load a checkpoint, run case-wise 3D inference, emit the
+    reference's CSV/PNG artifacts (evalchaos_comparison_1cases.py:143-243)."""
+    cfg = _build_config(args)
+    import numpy as np
+
+    from aide_tpu.core.registry import TASKS
+    from aide_tpu.data.pipeline import SlicePipeline
+    from aide_tpu.engine import checkpoint as ckpt_mod
+    from aide_tpu.engine import steps as steps_mod
+    from aide_tpu.engine.state import TrainState
+    from aide_tpu.evaluation import (
+        evaluate_cases,
+        summarize,
+        write_case_csv,
+        write_case_masks,
+    )
+    from aide_tpu.models import build_model
+    from aide_tpu.ops.schedules import make_optimizer
+    import jax
+    import jax.numpy as jnp
+
+    task = _maybe_synthetic_task(cfg) or TASKS.get(cfg.data.task)(
+        root=cfg.data.root,
+        tempmask_folder=cfg.data.tempmask_folder,
+        mask_identity=cfg.data.mask_identity,
+    )
+    specs = task.load_manifest(cfg.data.test_csv, train=False)
+    pipe = SlicePipeline(
+        task, specs, cfg.data.img_size, cfg.data.data_mean, cfg.data.data_std
+    )
+    cases = (
+        task.load_case_list(cfg.data.testcase_csv)
+        if cfg.data.testcase_csv
+        else list(pipe.cases)
+    )
+
+    model = build_model(cfg.model)
+    s = cfg.data.img_size
+    dummy = (jnp.zeros((1, s, s, 3)),) * (2 if task.two_modal else 1)
+    variables = model.init(jax.random.key(0), *dummy, train=False)
+    if not args.checkpoint:
+        print("error: --checkpoint is required for eval", file=sys.stderr)
+        return 2
+    variables = ckpt_mod.load_net(args.checkpoint, variables)
+    state = TrainState.create(variables, make_optimizer(cfg.optim, 1, 1))
+
+    predict = steps_mod.make_predict_step(model, task.two_modal, dual=False)
+    results = evaluate_cases(
+        predict, state, pipe, cases, cfg.data.eval_batch_size, dual=False,
+        target_net=None, keep_largest_cc=cfg.eval.keep_largest_cc,
+        full_metrics=True, keep_volumes=cfg.eval.save_png,
+    )[0]
+
+    out_dir = args.output or cfg.eval.output_dir
+    name = os.path.basename(args.checkpoint).split(".")[0]
+    write_case_csv(os.path.join(out_dir, f"{name}.csv"), results)
+    if cfg.eval.save_png:
+        for r in results:
+            idxs = pipe.case_indices(r.case_id)
+            names = [
+                os.path.basename(pipe.specs[i].mask_path).split(".")[0]
+                for i in idxs
+            ]
+            if len(set(names)) != len(names):  # synthetic-style paths
+                names = [f"{n}_{j:03d}" for j, n in enumerate(names)]
+            write_case_masks(
+                os.path.join(out_dir, "generated_masks"),
+                r.case_id,
+                r.pred_volume,
+                names,
+                scale=cfg.eval.png_scale,
+            )
+    print(json.dumps(summarize(results), indent=2))
+    return 0
+
+
+def cmd_presets(args) -> int:
+    for name in sorted(PRESETS):
+        print(name)
+    return 0
+
+
+def _maybe_synthetic_task(cfg: TrainConfig):
+    if cfg.data.task != "synthetic":
+        return None
+    from aide_tpu.data.tasks.synthetic import SyntheticTask
+
+    return SyntheticTask(
+        root=cfg.data.root or "./synthetic_data",
+        tempmask_folder=cfg.data.tempmask_folder or "tempmasks",
+        noisy_fraction=0.5,
+        seed=cfg.seed,
+    )
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="aide-tpu",
+        description="TPU-native annotation-efficient segmentation framework",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_train = sub.add_parser("train", help="run a training config")
+    _add_common(p_train)
+    p_train.add_argument("--epochs", type=int, help="override epoch count")
+    p_train.set_defaults(fn=cmd_train)
+
+    p_eval = sub.add_parser("eval", help="offline case-wise evaluation")
+    _add_common(p_eval)
+    p_eval.add_argument("--checkpoint", help="net checkpoint (.msgpack)")
+    p_eval.add_argument("--output", help="output directory")
+    p_eval.set_defaults(fn=cmd_eval)
+
+    p_ls = sub.add_parser("presets", help="list available presets")
+    p_ls.set_defaults(fn=cmd_presets)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

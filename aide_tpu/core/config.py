@@ -119,6 +119,9 @@ class CoteachConfig:
     # every epoch during warmup then every `refresh_interval` epochs.
     update_percent: float = 0.25
     refresh_interval: int = 10
+    # kidney convention: do not overwrite a working label with an empty
+    # prediction (trainkidney_proposed_mask1.py:417)
+    refresh_skip_empty: bool = False
     # BN statistics used for the TTA forwards: 'batch' matches the flagship
     # trainer (nets stay in train mode during TTA); 'running' matches the
     # kidney trainers' explicit net.eval() (trainkidney_proposed_mask1.py:267).

@@ -50,12 +50,30 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, data_axis: str = "data"):
-    """Place a pytree of host arrays on the mesh, batch-sharded on axis 0."""
-    sharding = batch_sharding(mesh, data_axis)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), batch
-    )
+    """Place a pytree of host arrays on the mesh, batch-sharded on axis 0.
+
+    Arrays whose leading dimension does not divide the data axis (e.g. a
+    partial final eval batch) are replicated instead.
+    """
+    sharded = batch_sharding(mesh, data_axis)
+    repl = replicated(mesh)
+    n = mesh.shape[data_axis]
+
+    def put(x):
+        ok = hasattr(x, "shape") and x.ndim > 0 and x.shape[0] % n == 0
+        return jax.device_put(x, sharded if ok else repl)
+
+    return jax.tree_util.tree_map(put, batch)
 
 
 def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def fit_data_devices(batch_size: int, num_available: int) -> int:
+    """Largest device count <= num_available that divides the global batch
+    (a batch must shard evenly over the data axis)."""
+    for d in range(min(batch_size, num_available), 0, -1):
+        if batch_size % d == 0:
+            return d
+    return 1

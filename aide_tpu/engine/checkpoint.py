@@ -1,0 +1,100 @@
+"""Checkpoint save/load (msgpack via flax.serialization + JSON sidecar).
+
+The reference saves ``{'net': state_dict, 'loss', 'epoch'}`` gated on best
+train-case Dice (/root/reference/train_files/
+trainchaos_proposed_30cases1labeled.py:500-526) and resumes weights-only
+(trainkidney_proposed_mask1.py:180-182). Here per-net weight exports keep
+that contract (msgpack instead of pickle), and the full train state —
+including optimizer moments, which the reference drops — can be saved for
+exact resume.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+from flax import serialization
+
+from aide_tpu.engine.state import DualTrainState, TrainState, unstack_tree
+
+
+def _write(path: str, tree: Any, meta: Dict) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as fh:
+        fh.write(serialization.to_bytes(tree))
+    with open(path + ".json", "w") as fh:
+        json.dump(meta, fh, indent=2)
+
+
+def read_meta(path: str) -> Dict:
+    with open(path + ".json") as fh:
+        return json.load(fh)
+
+
+def save_net(path: str, variables: Dict, meta: Dict) -> None:
+    """Export one network's weights (+BN stats), reference-style gate file."""
+    _write(path, variables, meta)
+
+
+def load_net(path: str, template: Dict) -> Dict:
+    with open(path, "rb") as fh:
+        return serialization.from_bytes(template, fh.read())
+
+
+def save_dual_nets(
+    dir_path: str, prefix: str, state: DualTrainState, meta: Dict
+) -> None:
+    """Per-net best-checkpoint exports named like the reference's
+    ``{model}_temp{T}_r{rep}_netK_besttraincasedice.pkl`` (:512-513)."""
+    for net in (1, 2):
+        save_net(
+            os.path.join(dir_path, f"{prefix}_net{net}_besttraincasedice.msgpack"),
+            state.net_variables(net - 1),
+            dict(meta, net=net),
+        )
+
+
+def save_train_state(path: str, state, meta: Dict) -> None:
+    """Full state (params + BN stats + optimizer) for exact resume."""
+    tree = {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+    }
+    _write(path, tree, meta)
+
+
+def load_train_state(path: str, state):
+    tree = {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+    }
+    with open(path, "rb") as fh:
+        restored = serialization.from_bytes(tree, fh.read())
+    return state.replace(**restored)
+
+
+def warm_start_dual(state: DualTrainState, net_ckpt_path: str) -> DualTrainState:
+    """Load one pretrained single-net checkpoint into BOTH nets (the kidney
+    trainers' --resumefile warm start, trainkidney_proposed_mask1.py:180-182).
+    """
+    template = state.net_variables(0)
+    restored = load_net(net_ckpt_path, template)
+    stacked_params = jax.tree_util.tree_map(
+        lambda s, r: s.at[0].set(r).at[1].set(r), state.params, restored["params"]
+    )
+    new = state.replace(params=stacked_params)
+    if "batch_stats" in restored and restored["batch_stats"]:
+        stacked_stats = jax.tree_util.tree_map(
+            lambda s, r: s.at[0].set(r).at[1].set(r),
+            state.batch_stats,
+            restored["batch_stats"],
+        )
+        new = new.replace(batch_stats=stacked_stats)
+    return new

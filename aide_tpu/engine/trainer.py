@@ -1,0 +1,371 @@
+"""The training engine: one parameterized loop replacing 17 trainer scripts.
+
+Orchestrates the AIDE algorithm end-to-end (flagship reference:
+/root/reference/train_files/trainchaos_proposed_30cases1labeled.py:245-590):
+
+  per epoch:
+    rate         <- min((epoch/warmup)^2, 1)                       (:248)
+    train        <- jitted co-teaching steps (engine/steps.py)     (:260-330)
+    test         <- batched eval loss/dice                         (:344-371)
+    test cases   <- batched 3D inference + largest-CC + Dice       (:373-427)
+    train cases  <- re-inference vs working labels + kept volumes  (:429-496)
+    checkpoint   <- best avg train-case dice (optional kidney
+                    ascending/changepoint gate,
+                    trainkidney_proposed_mask1.py:436-464)         (:500-526)
+    refresh      <- worst update_percent cases per net overwrite
+                    their working labels (labeled cases exempt,
+                    empty predictions optionally skipped)          (:528-575)
+
+Comparison (plain supervised) configs run the same loop minus TTA/refresh
+(e.g. trainchaos_comparison_1case.py:182-345).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aide_tpu.core import prng
+from aide_tpu.core.config import TrainConfig
+from aide_tpu.core.logging import record_params, setup_logging
+from aide_tpu.core.mesh import make_mesh, shard_batch
+from aide_tpu.core.registry import TASKS
+from aide_tpu.data.pipeline import SlicePipeline
+from aide_tpu.engine import checkpoint as ckpt
+from aide_tpu.engine import steps as steps_mod
+from aide_tpu.engine.state import DualTrainState, TrainState
+from aide_tpu.evaluation.case_eval import evaluate_cases
+from aide_tpu.models import build_model, is_two_modal
+from aide_tpu.ops.schedules import make_optimizer, rate_schedule
+
+
+class Trainer:
+    def __init__(self, cfg: TrainConfig, task=None, mesh=None, logger=None):
+        self.cfg = cfg
+        self.logger = logger or setup_logging(cfg.history_dir, cfg.experiment_name)
+        record_params(self.logger, cfg)
+
+        self.task = task or TASKS.get(cfg.data.task)(
+            root=cfg.data.root,
+            tempmask_folder=cfg.data.tempmask_folder,
+            mask_identity=cfg.data.mask_identity,
+        )
+        self.two_modal = self.task.two_modal
+        self.dual = cfg.data.variant == "proposed" and cfg.coteach.enabled
+
+        # ---- pipelines ----
+        train_specs = self.task.load_manifest(cfg.data.train_csv, train=True)
+        test_specs = self.task.load_manifest(cfg.data.test_csv, train=False)
+        self.train_pipe = SlicePipeline(
+            self.task, train_specs, cfg.data.img_size,
+            cfg.data.data_mean, cfg.data.data_std, working_labels=self.dual,
+        )
+        self.test_pipe = SlicePipeline(
+            self.task, test_specs, cfg.data.img_size,
+            cfg.data.data_mean, cfg.data.data_std, working_labels=False,
+        )
+        self.train_cases = (
+            self.task.load_case_list(cfg.data.traincase_csv)
+            if cfg.data.traincase_csv
+            else list(self.train_pipe.cases)
+        )
+        self.test_cases = (
+            self.task.load_case_list(cfg.data.testcase_csv)
+            if cfg.data.testcase_csv
+            else list(self.test_pipe.cases)
+        )
+        self.label_cases = set(
+            self.task.load_case_list(cfg.data.labelcase_csv)
+            if cfg.data.labelcase_csv
+            else []
+        )
+
+        # ---- model + states ----
+        if mesh is None:
+            import dataclasses as _dc
+
+            from aide_tpu.core.mesh import fit_data_devices
+
+            import math
+
+            n_avail = cfg.mesh.num_devices or len(jax.devices())
+            n_fit = fit_data_devices(
+                math.gcd(cfg.data.batch_size, cfg.data.eval_batch_size), n_avail
+            )
+            mesh = make_mesh(_dc.replace(cfg.mesh, num_devices=n_fit))
+        self.mesh = mesh
+        self.model = build_model(cfg.model)
+        spe = self.train_pipe.steps_per_epoch(cfg.data.batch_size)
+        tx = make_optimizer(cfg.optim, spe, cfg.num_epochs)
+
+        dummy = self._dummy_inputs()
+        if self.dual:
+            v1 = self.model.init(jax.random.key(cfg.seed), *dummy, train=False)
+            v2 = self.model.init(jax.random.key(cfg.seed + 1), *dummy, train=False)
+            self.state = DualTrainState.create(v1, v2, tx)
+            if cfg.resume_file:
+                self.state = ckpt.warm_start_dual(self.state, cfg.resume_file)
+            self.train_step = steps_mod.make_coteach_train_step(
+                self.model, self.two_modal, cfg
+            )
+        else:
+            v1 = self.model.init(jax.random.key(cfg.seed), *dummy, train=False)
+            self.state = TrainState.create(v1, tx)
+            if cfg.resume_file:
+                restored = ckpt.load_net(cfg.resume_file, v1)
+                self.state = self.state.replace(
+                    params=restored["params"],
+                    batch_stats=restored.get("batch_stats", {}),
+                )
+            self.train_step = steps_mod.make_supervised_train_step(
+                self.model, self.two_modal, cfg
+            )
+
+        self.eval_step = steps_mod.make_eval_step(
+            self.model, self.two_modal, cfg, dual=self.dual
+        )
+        self.predict_step = steps_mod.make_predict_step(
+            self.model, self.two_modal, dual=self.dual
+        )
+
+        self.root_key = prng.root_key(cfg.seed)
+        self.best_dice = 0.0
+        # kidney-style changepoint gate state
+        self.ascending = not cfg.ascending_checkpoint_gate
+        self.changepoint_dice = 0.0
+        self.history: List[Dict] = []
+
+    # ------------------------------------------------------------------
+
+    def _dummy_inputs(self):
+        s = self.cfg.data.img_size
+        x = jnp.zeros((1, s, s, 3))
+        return (x, x) if self.two_modal else (x,)
+
+    def _shard(self, batch):
+        return shard_batch(batch, self.mesh, self.cfg.mesh.data_axis)
+
+    # ------------------------------ epochs ------------------------------
+
+    def _train_epoch(self, epoch: int, rate: float) -> Dict[str, float]:
+        cfg = self.cfg
+        ekey = prng.epoch_key(self.root_key, epoch)
+        shuffle_rng = np.random.default_rng(cfg.seed * 100003 + epoch)
+        totals: Dict[str, float] = {}
+        count = 0.0
+        rate_arr = jnp.asarray(rate, jnp.float32)
+        for i, batch in enumerate(
+            self.train_pipe.batches(cfg.data.batch_size, rng=shuffle_rng)
+        ):
+            batch = self._shard(batch)
+            if self.dual:
+                skey = prng.step_key(ekey, i)
+                self.state, m = self.train_step(self.state, batch, skey, rate_arr)
+            else:
+                self.state, m = self.train_step(self.state, batch)
+            c = float(m.pop("count"))
+            count += c
+            for k, v in m.items():
+                scale = c if k.startswith("loss") else 1.0
+                totals[k] = totals.get(k, 0.0) + float(v) * scale
+        return {k: v / max(count, 1.0) for k, v in totals.items()}
+
+    def _test_epoch(self) -> Dict[str, float]:
+        cfg = self.cfg
+        totals: Dict[str, float] = {}
+        count = 0.0
+        for batch in self.test_pipe.batches(
+            cfg.data.eval_batch_size, shuffle=False, drop_last=False
+        ):
+            if self.dual:
+                batch = dict(batch, target1=batch["target"], target2=batch["target"])
+            m = self.eval_step(self.state, self._shard(batch))
+            c = float(m.pop("count"))
+            count += c
+            for k, v in m.items():
+                scale = c if k.startswith("loss") else 1.0
+                totals[k] = totals.get(k, 0.0) + float(v) * scale
+        return {k: v / max(count, 1.0) for k, v in totals.items()}
+
+    # ------------------------------ refresh ------------------------------
+
+    def _refresh_labels(self, epoch: int, traincase_results) -> None:
+        """Overwrite the worst update_percent cases' working labels per net
+        (:528-575)."""
+        cfg = self.cfg
+        k = int(cfg.coteach.update_percent * len(self.train_cases))
+        for net_idx in range(2):
+            results = traincase_results[net_idx]
+            order = np.argsort([r.dice for r in results])
+            refreshed = []
+            for sel in order[:k]:
+                r = results[sel]
+                if r.case_id in self.label_cases:
+                    continue  # labeled cases are never rewritten (:535)
+                vol = r.pred_volume
+                if cfg.coteach.refresh_skip_empty and vol.sum() == 0:
+                    continue  # kidney convention (trainkidney:417)
+                idxs = self.train_pipe.case_indices(r.case_id)
+                self.train_pipe.labels.refresh_case(net_idx + 1, idxs, vol)
+                refreshed.append(r.case_id)
+            self.logger.info(
+                "Mask {} modify for net{}".format(refreshed, net_idx + 1)
+            )
+
+    def _is_refresh_epoch(self, epoch: int) -> bool:
+        e1 = epoch + 1
+        return e1 <= self.cfg.coteach.warmup_epochs or (
+            e1 % self.cfg.coteach.refresh_interval == 0
+        )
+
+    # ---------------------------- checkpoint ----------------------------
+
+    def _maybe_checkpoint(self, epoch: int, avg_dice: float, test_metrics) -> bool:
+        cfg = self.cfg
+        if cfg.ascending_checkpoint_gate and not self.ascending:
+            if epoch > 0 and self.changepoint_dice < avg_dice:
+                self.ascending = True
+                self.best_dice = self.changepoint_dice
+            else:
+                self.changepoint_dice = avg_dice
+                return False
+        if avg_dice <= self.best_dice:
+            return False
+        self.best_dice = avg_dice
+        self.logger.info("Best Checkpoint {} Saving...".format(epoch + 1))
+        meta = {
+            "epoch": epoch + 1,
+            "traincase_dice": avg_dice,
+            **{k: float(v) for k, v in test_metrics.items()},
+        }
+        if self.dual:
+            ckpt.save_dual_nets(
+                cfg.checkpoint_dir, cfg.experiment_name, self.state, meta
+            )
+        else:
+            ckpt.save_net(
+                os.path.join(
+                    cfg.checkpoint_dir,
+                    f"{cfg.experiment_name}_besttraincasedice.msgpack",
+                ),
+                self.state.variables(),
+                meta,
+            )
+        ckpt.save_train_state(
+            os.path.join(cfg.checkpoint_dir, f"{cfg.experiment_name}_full.msgpack"),
+            self.state,
+            meta,
+        )
+        # prostate trainers back up the best temp-mask folder
+        # (trainprostate_proposed_isbi3ttransferisbidx.py:473-476)
+        if self.dual and cfg.data.tempmask_folder:
+            src = os.path.join(self.task.root, self.task.tempmask_folder)
+            if os.path.isdir(src):
+                shutil.copytree(src, src.rstrip("/") + "_best", dirs_exist_ok=True)
+        return True
+
+    # ------------------------------- run -------------------------------
+
+    def run_epoch(self, epoch: int) -> Dict[str, float]:
+        cfg = self.cfg
+        ts = time.time()
+        rate = rate_schedule(epoch, cfg.coteach.warmup_epochs) if self.dual else 0.0
+
+        train_m = self._train_epoch(epoch, rate)
+        test_m = self._test_epoch()
+
+        testcase = evaluate_cases(
+            self.predict_step, self.state, self.test_pipe, self.test_cases,
+            cfg.data.eval_batch_size, dual=self.dual, target_net=None,
+            keep_largest_cc=cfg.eval.keep_largest_cc,
+        )
+        traincase = evaluate_cases(
+            self.predict_step, self.state, self.train_pipe, self.train_cases,
+            cfg.data.eval_batch_size, dual=self.dual,
+            target_net="self" if self.dual else None,
+            keep_largest_cc=cfg.eval.keep_largest_cc,
+            keep_volumes=self.dual,
+        )
+
+        case_means = {
+            f"traincase_dice{n + 1}": float(
+                np.mean([r.dice for r in traincase[n]])
+            )
+            for n in traincase
+        }
+        case_means.update(
+            {
+                f"testcase_dice{n + 1}": float(
+                    np.mean([r.dice for r in testcase[n]])
+                )
+                for n in testcase
+            }
+        )
+        if self.dual:
+            avg_dice = (
+                case_means["traincase_dice1"] + case_means["traincase_dice2"]
+            ) / 2.0
+        else:
+            avg_dice = case_means["traincase_dice1"]
+
+        self._maybe_checkpoint(epoch, avg_dice, test_m)
+        if self.dual and self._is_refresh_epoch(epoch):
+            self._refresh_labels(epoch, traincase)
+
+        dt = time.time() - ts
+        row = {
+            "epoch": epoch + 1,
+            **{f"train_{k}": v for k, v in train_m.items()},
+            **{f"test_{k}": v for k, v in test_m.items()},
+            **case_means,
+            "time": dt,
+        }
+        self.history.append(row)
+        self._log_epoch(row)
+        return row
+
+    def _log_epoch(self, row: Dict[str, float]) -> None:
+        cfg = self.cfg
+        e = row["epoch"]
+        if self.dual:
+            for n in (1, 2):
+                self.logger.info(
+                    "epoch[%d/%d]: train_loss%d: %.3f | test_loss%d: %.3f | "
+                    "train_dice%d: %.3f | test_dice%d: %.3f || "
+                    "traincase_dice%d: %.3f || testcase_dice%d: %.3f || time: %.1f"
+                    % (
+                        e, cfg.num_epochs, n, row.get(f"train_loss{n}", 0.0),
+                        n, row.get(f"test_loss{n}", 0.0),
+                        n, row.get(f"train_dice{n}_sum", 0.0),
+                        n, row.get(f"test_dice{n}_sum", 0.0),
+                        n, row.get(f"traincase_dice{n}", 0.0),
+                        n, row.get(f"testcase_dice{n}", 0.0),
+                        row["time"],
+                    )
+                )
+        else:
+            self.logger.info(
+                "epoch[%d/%d]: train_loss: %.3f | test_loss: %.3f | "
+                "train_dice: %.3f | test_dice: %.3f || traincase_dice: %.3f || "
+                "testcase_dice: %.3f || time: %.1f"
+                % (
+                    e, cfg.num_epochs, row.get("train_loss", 0.0),
+                    row.get("test_loss", 0.0), row.get("train_dice_sum", 0.0),
+                    row.get("test_dice_sum", 0.0),
+                    row.get("traincase_dice1", 0.0),
+                    row.get("testcase_dice1", 0.0), row["time"],
+                )
+            )
+
+    def run(self, num_epochs: Optional[int] = None) -> List[Dict]:
+        n = num_epochs or self.cfg.num_epochs
+        self.logger.info("Start Training ({})".format(self.cfg.data.task))
+        for epoch in range(n):
+            self.run_epoch(epoch)
+        return self.history

@@ -1,0 +1,10 @@
+from aide_tpu.evaluation.case_eval import (  # noqa: F401
+    CaseResult,
+    evaluate_cases,
+    infer_cases,
+)
+from aide_tpu.evaluation.report import (  # noqa: F401
+    write_case_csv,
+    write_case_masks,
+    summarize,
+)

@@ -4,7 +4,10 @@ Must set the XLA flags before jax initializes (hence top of conftest)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-assign (not setdefault): the machine profile's sitecustomize pins
+# JAX_PLATFORMS to the TPU plugin at interpreter start; tests must run on the
+# virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,121 @@
+"""End-to-end trainer tests on the synthetic task (tiny shapes, few epochs)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from aide_tpu.core.config import TrainConfig, ModelConfig
+from aide_tpu.data.tasks.synthetic import SyntheticTask
+from aide_tpu.engine.trainer import Trainer
+
+
+def small_cfg(tmp_path, variant="proposed", **kw):
+    cfg = TrainConfig()
+    cfg.model = ModelConfig(name="unet4", compute_dtype="float32", norm="group")
+    cfg.data.task = "synthetic"
+    cfg.data.variant = variant
+    cfg.data.img_size = 32
+    cfg.data.batch_size = 4
+    cfg.data.eval_batch_size = 4
+    cfg.data.num_tta_views = 2
+    cfg.data.rotation_degree = 20.0
+    cfg.coteach.warmup_epochs = 2
+    cfg.coteach.consistency_weight = 1.0
+    cfg.num_epochs = 2
+    cfg.checkpoint_dir = str(tmp_path / "ckpt")
+    cfg.history_dir = str(tmp_path / "hist")
+    for k, v in kw.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+def make_trainer(tmp_path, variant="proposed", noisy=0.5, **kw):
+    cfg = small_cfg(tmp_path, variant, **kw)
+    task = SyntheticTask(
+        root=str(tmp_path / "synth"),
+        tempmask_folder="tempmasks",
+        num_cases=4,
+        slices_per_case=4,
+        size=32,
+        noisy_fraction=noisy,
+        seed=3,
+    )
+    return Trainer(cfg, task=task)
+
+
+@pytest.mark.slow
+class TestProposedTrainer:
+    def test_two_epochs_end_to_end(self, tmp_path):
+        tr = make_trainer(tmp_path)
+        history = tr.run(2)
+        assert len(history) == 2
+        row = history[-1]
+        for key in (
+            "train_loss1", "train_loss2", "test_loss1", "traincase_dice1",
+            "testcase_dice2",
+        ):
+            assert np.isfinite(row[key]), key
+        # refresh ran during warmup: some tempmask files mirrored to disk
+        temp_root = os.path.join(tr.task.root, tr.task.tempmask_folder)
+        assert os.path.isdir(temp_root)
+        # checkpoints written on a best epoch
+        files = os.listdir(tr.cfg.checkpoint_dir)
+        assert any("net1_besttraincasedice" in f for f in files)
+        assert any("_full" in f for f in files)
+
+    def test_working_labels_change_after_refresh(self, tmp_path):
+        tr = make_trainer(tmp_path, noisy=1.0)
+        before = tr.train_pipe.labels.get(1).copy()
+        tr.run(2)
+        after = tr.train_pipe.labels.get(1)
+        assert not np.array_equal(before, after)
+
+    def test_labeled_cases_never_rewritten(self, tmp_path):
+        tr = make_trainer(tmp_path, noisy=1.0)
+        tr.label_cases = set(tr.train_cases)  # everything exempt
+        before1 = tr.train_pipe.labels.get(1).copy()
+        tr.run(2)
+        assert np.array_equal(before1, tr.train_pipe.labels.get(1))
+
+
+@pytest.mark.slow
+class TestComparisonTrainer:
+    def test_supervised_end_to_end(self, tmp_path):
+        tr = make_trainer(tmp_path, variant="comparison", noisy=0.0)
+        history = tr.run(2)
+        row = history[-1]
+        assert np.isfinite(row["train_loss"])
+        assert np.isfinite(row["traincase_dice1"])
+        files = os.listdir(tr.cfg.checkpoint_dir)
+        assert any("besttraincasedice" in f for f in files)
+
+
+@pytest.mark.slow
+class TestResume:
+    def test_warm_start_from_supervised_ckpt(self, tmp_path):
+        sup = make_trainer(tmp_path, variant="comparison", noisy=0.0)
+        sup.run(1)
+        ckpt_path = os.path.join(
+            sup.cfg.checkpoint_dir,
+            f"{sup.cfg.experiment_name}_besttraincasedice.msgpack",
+        )
+        assert os.path.exists(ckpt_path)
+
+        tr = make_trainer(
+            tmp_path / "resume", variant="proposed", resume_file=ckpt_path
+        )
+        p = tr.state.params
+        import jax
+
+        leaves = jax.tree_util.tree_leaves(p)
+        # warm start loads the same weights into both nets
+        assert all(np.allclose(l[0], l[1]) for l in leaves)
+
+    def test_ascending_gate_defers_checkpoint(self, tmp_path):
+        tr = make_trainer(
+            tmp_path, variant="proposed", ascending_checkpoint_gate=True
+        )
+        assert tr.ascending is False
+        tr.run(1)  # first epoch only records the changepoint
+        assert tr.best_dice == 0.0 or tr.ascending
