@@ -125,14 +125,142 @@ def sample_affine(
     return out.astype(dtype)
 
 
+# --------------------- gather-free shear rotation ---------------------
+#
+# Per-pixel 2-D gathers are the slowest primitive on TPU: the 4-corner
+# gather warp above costs ~4x a full FuseUNet forward at the CHAOS operating
+# point. The Paeth 3-shear decomposition R(t) = Sx(-tan t/2) Sy(sin t)
+# Sx(-tan t/2) turns rotation into three axis-wise 1-D resamples whose
+# per-row/column shifts are constants — implementable as log2(N) masked
+# jnp.roll passes plus a lerp: pure VPU elementwise/slice work, no gathers.
+# Angles beyond +-45 deg compose with an exact 90-degree rotation
+# (transpose + reverse). This is the default warp; the gather path above is
+# the exactness reference.
+
+
+def _roll_by(v: jnp.ndarray, shift: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """out[..., i, ...] = v[..., (i + shift) mod N, ...] with ``shift`` >= 0
+    integer per (batch, other-spatial-axis), via binary-decomposed masked
+    rolls. shift: (B, M) where M is the size of the other spatial axis."""
+    n = v.shape[axis]
+    other = 2 if axis == 1 else 1
+    sel_shape = [1] * v.ndim
+    sel_shape[0] = v.shape[0]
+    sel_shape[other] = v.shape[other]
+    bits = max(1, (n - 1).bit_length())
+    for j in range(bits):
+        bit = ((shift >> j) & 1).astype(bool).reshape(sel_shape)
+        rolled = jnp.roll(v, -(1 << j), axis=axis)
+        v = jnp.where(bit, rolled, v)
+    return v
+
+
+def _shear(
+    v: jnp.ndarray,
+    lam: jnp.ndarray,
+    axis: int,
+    fill: jnp.ndarray,
+) -> jnp.ndarray:
+    """1-D bilinear resample along ``axis`` with shift d = lam * (j - cj)
+    per the OTHER spatial axis j: out[i] = in[i + d], zero-extended with
+    ``fill``. v: (B, H, W, C); lam: (B,); fill: (B, 1, 1, C)."""
+    b, h, w, c = v.shape
+    n = v.shape[axis]
+    other = 2 if axis == 1 else 1
+    m = v.shape[other]
+    cj = (m - 1) / 2.0
+    d = lam[:, None] * (jnp.arange(m, dtype=jnp.float32) - cj)  # (B, m)
+    k = jnp.floor(d)
+    frac = (d - k).astype(v.dtype)
+    kint = k.astype(jnp.int32)
+
+    shift0 = jnp.mod(kint, n)
+    tap0 = _roll_by(v, shift0, axis)
+    tap1 = jnp.roll(tap0, -1, axis=axis)
+
+    # validity of source positions i + k (tap0) and i + k + 1 (tap1)
+    pos_shape = [1] * v.ndim
+    pos_shape[axis] = n
+    pos = jnp.arange(n, dtype=jnp.int32).reshape(pos_shape)
+    k_b = kint.reshape(
+        (b, m, 1, 1) if axis == 2 else (b, 1, m, 1)
+    ) if False else kint.reshape([b] + [m if i == other else 1 for i in (1, 2)] + [1])
+    src0 = pos + k_b
+    valid0 = (src0 >= 0) & (src0 <= n - 1)
+    valid1 = (src0 + 1 >= 0) & (src0 + 1 <= n - 1)
+
+    frac_b = frac.reshape([b] + [m if i == other else 1 for i in (1, 2)] + [1])
+    out = (1.0 - frac_b) * jnp.where(valid0, tap0, fill) + frac_b * jnp.where(
+        valid1, tap1, fill
+    )
+    return out
+
+
+def _rot90(v: jnp.ndarray, sign: int) -> jnp.ndarray:
+    """Exact 90-degree rotation matching sample_affine(deg=sign*90):
+    transpose + reverse (verified against the gather path in tests)."""
+    t = jnp.swapaxes(v, 1, 2)
+    return t[:, ::-1, :, :] if sign > 0 else t[:, :, ::-1, :]
+
+
+def _shear_rotate(
+    images: jnp.ndarray,
+    degrees: jnp.ndarray,
+    fill: jnp.ndarray,
+) -> jnp.ndarray:
+    """Rotate by per-image ``degrees`` (any magnitude <= 135) via 90-degree
+    composition + Paeth shears."""
+    b = images.shape[0]
+    deg = degrees.astype(jnp.float32)
+    n90 = jnp.where(deg > 45.0, 1, jnp.where(deg < -45.0, -1, 0))
+    resid = deg - 90.0 * n90
+
+    # apply the exact 90-degree part first (both variants + select)
+    pos = _rot90(images, +1)
+    neg = _rot90(images, -1)
+    sel = n90.reshape(b, 1, 1, 1)
+    v = jnp.where(sel == 1, pos, jnp.where(sel == -1, neg, images))
+
+    rad = jnp.deg2rad(resid)
+    lam_x = -jnp.tan(rad / 2.0)
+    lam_y = jnp.sin(rad)
+    v = _shear(v, lam_x, axis=2, fill=fill)
+    v = _shear(v, lam_y, axis=1, fill=fill)
+    v = _shear(v, lam_x, axis=2, fill=fill)
+    return v
+
+
+def _hflip_select(v: jnp.ndarray, hflip: jnp.ndarray) -> jnp.ndarray:
+    sel = hflip.reshape(v.shape[0], 1, 1, 1) > 0.5
+    return jnp.where(sel, v[:, :, ::-1, :], v)
+
+
+def _fill_arr(fill, b: int, c: int, dtype) -> jnp.ndarray:
+    f = jnp.asarray(fill, dtype=jnp.float32)
+    if f.ndim == 2:
+        f = f.reshape(b, 1, 1, c)
+    elif f.ndim == 1:
+        f = f.reshape(1, 1, 1, c)
+    else:
+        f = f.reshape(1, 1, 1, 1)
+    return jnp.broadcast_to(f, (b, 1, 1, c)).astype(dtype)
+
+
 def augment(
     images: jnp.ndarray,
     degrees: jnp.ndarray,
     hflip: jnp.ndarray,
     fill: jnp.ndarray | float = 0.0,
+    method: str = "shear",
 ) -> jnp.ndarray:
     """Forward augmentation: rotate by ``degrees`` then horizontally flip."""
-    return sample_affine(images, aug_matrices(degrees, hflip), fill)
+    if method == "gather":
+        return sample_affine(images, aug_matrices(degrees, hflip), fill)
+    b, _, _, c = images.shape
+    dtype = images.dtype
+    v = images.astype(jnp.float32)
+    v = _shear_rotate(v, degrees, _fill_arr(fill, b, c, jnp.float32))
+    return _hflip_select(v, hflip).astype(dtype)
 
 
 def invert(
@@ -140,6 +268,13 @@ def invert(
     degrees: jnp.ndarray,
     hflip: jnp.ndarray,
     fill: jnp.ndarray | float = 0.0,
+    method: str = "shear",
 ) -> jnp.ndarray:
     """Inverse augmentation applied to predicted maps (un-flip, un-rotate)."""
-    return sample_affine(maps, inverse_matrices(degrees, hflip), fill)
+    if method == "gather":
+        return sample_affine(maps, inverse_matrices(degrees, hflip), fill)
+    b, _, _, c = maps.shape
+    dtype = maps.dtype
+    v = _hflip_select(maps.astype(jnp.float32), hflip)
+    v = _shear_rotate(v, -degrees, _fill_arr(fill, b, c, jnp.float32))
+    return v.astype(dtype)
