@@ -18,11 +18,23 @@ from scipy import ndimage
 
 
 def keep_largest_connected_components(mask: np.ndarray) -> np.ndarray:
-    """Zero out all but the largest foreground component (any rank)."""
+    """Zero out all but the largest foreground component (2D or 3D).
+
+    Uses the native C++ union-find (aide_tpu/native) when available and
+    falls back to scipy.ndimage — both use the same face connectivity.
+    """
     mask = np.asarray(mask)
-    out = np.zeros(mask.shape, dtype=np.uint8)
     if mask.max() <= 0:
-        return out
+        return np.zeros(mask.shape, dtype=np.uint8)
+
+    if mask.ndim in (2, 3):
+        from aide_tpu import native
+
+        out = native.keep_largest_cc(mask)
+        if out is not None:
+            return out
+
+    out = np.zeros(mask.shape, dtype=np.uint8)
     labels, num = ndimage.label(mask > 0)
     if num == 0:
         return out

@@ -246,16 +246,29 @@ def _fill_arr(fill, b: int, c: int, dtype) -> jnp.ndarray:
     return jnp.broadcast_to(f, (b, 1, 1, c)).astype(dtype)
 
 
+def _resolve_method(method: str) -> str:
+    """'auto' -> the fused Pallas kernel on TPU, the XLA shear path on CPU
+    (where the kernel would only run interpreted)."""
+    if method != "auto":
+        return method
+    return "pallas" if jax.default_backend() != "cpu" else "shear"
+
+
 def augment(
     images: jnp.ndarray,
     degrees: jnp.ndarray,
     hflip: jnp.ndarray,
     fill: jnp.ndarray | float = 0.0,
-    method: str = "shear",
+    method: str = "auto",
 ) -> jnp.ndarray:
     """Forward augmentation: rotate by ``degrees`` then horizontally flip."""
+    method = _resolve_method(method)
     if method == "gather":
         return sample_affine(images, aug_matrices(degrees, hflip), fill)
+    if method == "pallas":
+        from aide_tpu.ops.pallas_warp import warp_rotate_flip
+
+        return warp_rotate_flip(images, degrees, hflip, fill, inverse=False)
     b, _, _, c = images.shape
     dtype = images.dtype
     v = images.astype(jnp.float32)
@@ -268,11 +281,16 @@ def invert(
     degrees: jnp.ndarray,
     hflip: jnp.ndarray,
     fill: jnp.ndarray | float = 0.0,
-    method: str = "shear",
+    method: str = "auto",
 ) -> jnp.ndarray:
     """Inverse augmentation applied to predicted maps (un-flip, un-rotate)."""
+    method = _resolve_method(method)
     if method == "gather":
         return sample_affine(maps, inverse_matrices(degrees, hflip), fill)
+    if method == "pallas":
+        from aide_tpu.ops.pallas_warp import warp_rotate_flip
+
+        return warp_rotate_flip(maps, degrees, hflip, fill, inverse=True)
     b, _, _, c = maps.shape
     dtype = maps.dtype
     v = _hflip_select(maps.astype(jnp.float32), hflip)
