@@ -189,14 +189,20 @@ def make_coteach_train_step(model, two_modal: bool, cfg: TrainConfig):
 
         view_logits = jax.vmap(tta_fwd)(state.params, state.batch_stats)
         view_logits = jax.lax.stop_gradient(view_logits)  # (2, V*B, H, W, C)
-        vshape = (2, num_views, b) + view_logits.shape[2:]
 
-        def ensemble(vl):
-            return tta.ensemble_pseudo_labels(
-                vl, degrees, hflip, ct.temperature, ct.sharpen_mode
-            )
-
-        pseudo, wmap = jax.vmap(ensemble)(view_logits.reshape(vshape))
+        # Invert both nets' views in ONE flat warp call (2*V views folded
+        # into the view axis) rather than vmapping the warp kernel over the
+        # net axis — Pallas kernels under vmap compile poorly.
+        flat = view_logits.reshape((2 * num_views, b) + view_logits.shape[2:])
+        deg2 = jnp.concatenate([degrees, degrees], axis=0)
+        flip2 = jnp.concatenate([hflip, hflip], axis=0)
+        inv = tta.invert_views(flat, deg2, flip2)
+        probs = jax.nn.softmax(inv.astype(jnp.float32), axis=-1)
+        avg = jnp.mean(
+            probs.reshape((2, num_views, b) + probs.shape[2:]), axis=1
+        )
+        pseudo = tta.sharpen(avg, ct.temperature, ct.sharpen_mode)
+        wmap = tta.confidence_weightmap(pseudo)
         # pseudo: (2, B, H, W, C); wmap: (2, B, H, W, 1)
 
         # ---- coupled main forward/backward over the stacked net axis ----
