@@ -127,6 +127,57 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def cmd_predict(args) -> int:
+    """Label-free inference: run a checkpoint over a manifest (masks optional
+    — e.g. the kidney image-only testing CSVs) and write predicted masks in
+    the task's native convention. No metrics are computed."""
+    cfg = _build_config(args)
+    from aide_tpu.core.registry import TASKS
+    from aide_tpu.data.pipeline import SlicePipeline
+    from aide_tpu.engine import checkpoint as ckpt_mod
+    from aide_tpu.engine import steps as steps_mod
+    from aide_tpu.engine.state import TrainState
+    from aide_tpu.evaluation import infer_cases, write_case_masks
+    from aide_tpu.models import build_model
+    from aide_tpu.ops.schedules import make_optimizer
+    import jax
+    import jax.numpy as jnp
+
+    task = _maybe_synthetic_task(cfg) or TASKS.get(cfg.data.task)(
+        root=cfg.data.root,
+        tempmask_folder=cfg.data.tempmask_folder,
+        mask_identity=cfg.data.mask_identity,
+    )
+    specs = task.load_manifest(cfg.data.test_csv, train=False)
+    pipe = SlicePipeline(
+        task, specs, cfg.data.img_size, cfg.data.data_mean, cfg.data.data_std
+    )
+    model = build_model(cfg.model)
+    s = cfg.data.img_size
+    dummy = (jnp.zeros((1, s, s, 3)),) * (2 if task.two_modal else 1)
+    variables = model.init(jax.random.key(0), *dummy, train=False)
+    if not args.checkpoint:
+        print("error: --checkpoint is required for predict", file=sys.stderr)
+        return 2
+    variables = ckpt_mod.load_net(args.checkpoint, variables)
+    state = TrainState.create(variables, make_optimizer(cfg.optim, 1, 1))
+    predict = steps_mod.make_predict_step(model, task.two_modal, dual=False)
+
+    out_dir = args.output or cfg.eval.output_dir
+    volumes = infer_cases(
+        predict, state, pipe, pipe.cases, cfg.data.eval_batch_size,
+        dual=False, keep_largest_cc=cfg.eval.keep_largest_cc,
+    )
+    count = 0
+    for case, vols in zip(pipe.cases, volumes):
+        idxs = pipe.case_indices(case)
+        names = [f"slice{j:03d}" for j in range(len(idxs))]
+        write_case_masks(out_dir, case, vols[0], names, scale=cfg.eval.png_scale)
+        count += len(idxs)
+    print(json.dumps({"cases": len(pipe.cases), "slices": count, "output": out_dir}))
+    return 0
+
+
 def cmd_presets(args) -> int:
     for name in sorted(PRESETS):
         print(name)
@@ -163,6 +214,12 @@ def main(argv=None) -> int:
     p_eval.add_argument("--checkpoint", help="net checkpoint (.msgpack)")
     p_eval.add_argument("--output", help="output directory")
     p_eval.set_defaults(fn=cmd_eval)
+
+    p_pred = sub.add_parser("predict", help="label-free mask inference")
+    _add_common(p_pred)
+    p_pred.add_argument("--checkpoint", help="net checkpoint (.msgpack)")
+    p_pred.add_argument("--output", help="output directory")
+    p_pred.set_defaults(fn=cmd_predict)
 
     p_ls = sub.add_parser("presets", help="list available presets")
     p_ls.set_defaults(fn=cmd_presets)

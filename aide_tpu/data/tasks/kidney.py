@@ -40,6 +40,20 @@ class KidneyTask(Task):
     # ---- manifest ----
     def load_manifest(self, csv_path: str, train: bool = True) -> List[SliceSpec]:
         df = pd.read_csv(csv_path)
+        if "Mask1" not in df.columns:
+            # image-only manifest for label-free inference
+            # (kidney_seg_testing, datasetkidney_comparison/dataset_testing.py:8-24)
+            return [
+                SliceSpec(
+                    index=i,
+                    case_id=os.path.basename(row["Image"]).split(".")[0],
+                    sort_key=row["Image"],
+                    image_paths=(row["Image"],),
+                    mask_path="",
+                    extras={"train": False, "unlabeled": True},
+                )
+                for i, row in df.iterrows()
+            ]
         specs = []
         for i, row in df.iterrows():
             img = row["Image"]
@@ -63,7 +77,9 @@ class KidneyTask(Task):
         mx = float(img.max()) if float(img.max()) > 0 else 1.0
         u8 = np.floor(np.clip(img / mx * 255.0, 0, 255)).astype(np.uint8)
 
-        if spec.extras.get("train", True):
+        if spec.extras.get("unlabeled"):
+            binary = np.zeros(u8.shape, np.uint8)
+        elif spec.extras.get("train", True):
             mask = _slice2d(os.path.join(self.root, spec.mask_path))
             binary = (mask > 0.5).astype(np.uint8)
         else:

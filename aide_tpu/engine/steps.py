@@ -128,7 +128,8 @@ def make_supervised_train_step(model, two_modal: bool, cfg: TrainConfig):
     forward = make_forward(model, two_modal)
     criterion = make_criterion(cfg)
 
-    @jax.jit
+    # donate the state: params/opt buffers update in place on device
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch):
         images = batch_images(batch, two_modal)
         target = batch["target"]
@@ -160,7 +161,7 @@ def make_coteach_train_step(model, two_modal: bool, cfg: TrainConfig):
     ct = cfg.coteach
     num_views = cfg.data.num_tta_views
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: DualTrainState, batch, key, rate):
         images = batch_images(batch, two_modal)
         fills = batch_fills(batch, two_modal)

@@ -1,0 +1,113 @@
+"""Co-teaching loss library semantics tests (hand-constructed rankings)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from aide_tpu.ops import coteach, losses
+
+
+def _confident_logits(pred, scale=8.0):
+    """Binary map -> confident logits (B,H,W,2)."""
+    p = np.asarray(pred, np.float32)
+    return jnp.asarray(np.stack([(1 - p) * scale, p * scale], axis=-1))
+
+
+def _batch_with_known_ranking():
+    """4 images; image quality vs targets degrades with index for net1 and
+    improves for net2, so the two nets rank oppositely."""
+    rng = np.random.default_rng(0)
+    targets = (rng.random((4, 8, 8)) > 0.5).astype(np.int32)
+    preds1 = []
+    preds2 = []
+    for i in range(4):
+        noise_lvl = i / 4.0
+        flip = rng.random((8, 8)) < noise_lvl
+        preds1.append(np.where(flip, 1 - targets[i], targets[i]))
+        flip2 = rng.random((8, 8)) < (0.75 - noise_lvl)
+        preds2.append(np.where(flip2, 1 - targets[i], targets[i]))
+    return (
+        _confident_logits(np.stack(preds1)),
+        _confident_logits(np.stack(preds2)),
+        jnp.asarray(targets),
+    )
+
+
+class TestDropImage:
+    def test_exchange_uses_other_nets_ranking(self):
+        l1, l2, t = _batch_with_known_ranking()
+        # per-image losses define each net's ranking
+        def per_img(lg):
+            ce = jnp.mean(
+                losses.cross_entropy_2d(lg, t, reduction="none"), axis=(1, 2)
+            )
+            return ce + losses.dice_loss(lg, t, reduction="none")
+
+        v1, v2 = np.asarray(per_img(l1)), np.asarray(per_img(l2))
+        keep1 = np.argsort(v1)[:3]  # net1's best images
+        keep2 = np.argsort(v2)[:3]
+        loss1, loss2 = coteach.coteach_drop_image(l1, l2, t, forget_rate=0.25)
+        # net1 trains on net2's selection and vice versa
+        assert np.allclose(float(loss1), v1[keep2].mean(), atol=1e-5)
+        assert np.allclose(float(loss2), v2[keep1].mean(), atol=1e-5)
+
+    def test_forget_zero_keeps_everything(self):
+        l1, l2, t = _batch_with_known_ranking()
+        loss1, _ = coteach.coteach_drop_image(l1, l2, t, forget_rate=0.0)
+        def per_img(lg):
+            ce = jnp.mean(
+                losses.cross_entropy_2d(lg, t, reduction="none"), axis=(1, 2)
+            )
+            return ce + losses.dice_loss(lg, t, reduction="none")
+        assert np.allclose(float(loss1), float(per_img(l1).mean()), atol=1e-5)
+
+
+class TestWeightImage:
+    def test_drop_weighting(self):
+        l1, l2, t = _batch_with_known_ranking()
+        def per_img(lg):
+            ce = jnp.mean(
+                losses.cross_entropy_2d(lg, t, reduction="none"), axis=(1, 2)
+            )
+            return ce + losses.dice_loss(lg, t, reduction="none")
+        v1, v2 = np.asarray(per_img(l1)), np.asarray(per_img(l2))
+        order2 = np.argsort(v2)
+        expect1 = v1[order2[:3]].mean() + 0.1 * v1[order2[3:]].mean()
+        loss1, _ = coteach.coteach_weight_image(l1, l2, t, forget_rate=0.25)
+        assert np.allclose(float(loss1), expect1, atol=1e-5)
+
+
+class TestDropRegion:
+    def test_patch_exchange_shapes_and_finiteness(self):
+        l1, l2, t = _batch_with_known_ranking()
+        loss1, loss2 = coteach.coteach_drop_region_ce(
+            l1, l2, t, forget_rate=0.25, scale=0.5
+        )
+        assert np.isfinite(float(loss1)) and np.isfinite(float(loss2))
+
+    def test_identical_nets_symmetric(self):
+        l1, _, t = _batch_with_known_ranking()
+        a, b = coteach.coteach_drop_region_ce(l1, l1, t, forget_rate=0.5)
+        assert np.allclose(float(a), float(b), atol=1e-6)
+
+
+class TestDropImageDropPixel:
+    def test_runs_and_pixel_term_nonnegative(self):
+        l1, l2, t = _batch_with_known_ranking()
+        base1, base2 = coteach.coteach_drop_image(l1, l2, t, forget_rate=0.25)
+        full1, full2 = coteach.coteach_drop_image_drop_pixel(
+            l1, l2, t, forget_rate=0.25
+        )
+        # adds a 0.25-weighted foreground pixel loss on the dropped images
+        assert float(full1) >= float(base1) - 1e-5
+        assert float(full2) >= float(base2) - 1e-5
+
+
+class TestPixelCoreg:
+    def test_retention_bounds(self):
+        l1, l2, t = _batch_with_known_ranking()
+        loss, retention = coteach.pixel_coreg_focal_two_model(
+            l1, l2, t, forget_rate=0.3, kd_weight=0.5
+        )
+        assert np.isfinite(float(loss))
+        assert 0.0 <= float(retention) <= 1.0
