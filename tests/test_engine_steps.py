@@ -38,8 +38,14 @@ def make_batch(b=4, s=16, seed=0, dual=True):
     return batch
 
 
+def _clone(tree):
+    """Deep-copy a pytree: the train steps donate their input state, so any
+    buffer shared with a donated state is deleted after the call."""
+    return jax.tree_util.tree_map(jnp.copy, tree)
+
+
 @pytest.fixture(scope="module")
-def setup():
+def _setup_raw():
     cfg = tiny_cfg()
     model = build_model(cfg.model)
     tx = make_optimizer(cfg.optim, steps_per_epoch=10, num_epochs=10)
@@ -49,13 +55,19 @@ def setup():
     return cfg, model, tx, v1, v2
 
 
+@pytest.fixture
+def setup(_setup_raw):
+    cfg, model, tx, v1, v2 = _setup_raw
+    return cfg, model, tx, _clone(v1), _clone(v2)
+
+
 class TestSupervised:
     def test_step_updates_params(self, setup):
         cfg, model, tx, v1, _ = setup
         state = TrainState.create(v1, tx)
         step = steps.make_supervised_train_step(model, False, cfg)
         batch = make_batch(dual=False)
-        new_state, m = step(state, batch)
+        new_state, m = step(_clone(state), batch)
         assert np.isfinite(float(m["loss"]))
         assert 0.0 <= float(m["dice_sum"]) <= 4.0
         delta = jax.tree_util.tree_map(
@@ -84,8 +96,8 @@ class TestCoteach:
         batch = make_batch()
         key = jax.random.key(7)
         rate = jnp.asarray(0.25)
-        s1, m1 = step(state, batch, key, rate)
-        s2, m2 = step(state, batch, key, rate)
+        s1, m1 = step(_clone(state), batch, key, rate)
+        s2, m2 = step(_clone(state), batch, key, rate)
         for k in ("loss1", "loss2", "dice1_sum", "dice2_sum"):
             assert np.isfinite(float(m1[k]))
             assert float(m1[k]) == float(m2[k])  # same key -> identical
@@ -98,7 +110,7 @@ class TestCoteach:
         cfg, model, tx, v1, v2 = setup
         state = DualTrainState.create(v1, v2, tx)
         step = steps.make_coteach_train_step(model, False, cfg)
-        new_state, _ = step(state, make_batch(), jax.random.key(0), jnp.asarray(1.0))
+        new_state, _ = step(_clone(state), make_batch(), jax.random.key(0), jnp.asarray(1.0))
         updates = jax.tree_util.tree_map(
             lambda new, old: np.asarray(new - old), new_state.params, state.params
         )
@@ -121,7 +133,7 @@ class TestCoteach:
         cfg, model, tx, v1, v2 = setup
         state = DualTrainState.create(v1, v2, tx)
         step = steps.make_coteach_train_step(model, False, cfg)
-        new_state, _ = step(state, make_batch(), jax.random.key(0), jnp.asarray(0.5))
+        new_state, _ = step(_clone(state), make_batch(), jax.random.key(0), jnp.asarray(0.5))
         old = jax.tree_util.tree_leaves(state.batch_stats)
         new = jax.tree_util.tree_leaves(new_state.batch_stats)
         assert any(
