@@ -173,6 +173,39 @@ class UpBlock(nn.Module):
         )(x, train)
 
 
+class CAUpBlock(nn.Module):
+    """Up block with channel-attention gating of the fused features
+    (UNet_ca_up_block, netblocks.py:149-161); ``residual`` adds the
+    ungated features back (UNet_resca_up_block, :163-175)."""
+
+    skip_features: int
+    features: int
+    residual: bool = False
+    learned_bilinear: bool = False
+    reduction: int = 16
+    norm: str = "batch"
+    groups: int = 8
+    axis_name: Optional[str] = None
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, skip, x, train: bool = True):
+        x = UpsampleConv(
+            self.skip_features,
+            self.learned_bilinear,
+            self.norm,
+            self.groups,
+            self.axis_name,
+            self.dtype,
+        )(x, train)
+        x = jnp.concatenate([x, skip], axis=-1)
+        gate = ChannelAttention(self.reduction, self.dtype)(x)
+        x = gate * x + x if self.residual else gate * x
+        return ConvBlock(
+            self.features, self.norm, self.groups, self.axis_name, self.dtype
+        )(x, train)
+
+
 class ChannelAttention(nn.Module):
     """Squeeze-excite channel gate (Channel_Attention, UNet.py:67-82):
     returns (B, 1, 1, C) sigmoid weights."""

@@ -7,6 +7,7 @@ from aide_tpu.ops.losses import (  # noqa: F401
     cem_dice_loss,
     cem_dice_loss_image,
     ce_dice_loss,
+    binary_cross_entropy_2d,
     focal_loss,
     kl_bidirectional,
 )

@@ -187,6 +187,20 @@ def ce_dice_loss(
     return ce * cedice_weight[0] + dc * cedice_weight[1]
 
 
+def binary_cross_entropy_2d(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    reduction: str = "none",
+) -> jnp.ndarray:
+    """Manual binary CE over the two-channel softmax
+    (CrossEntropyLoss2d2, coteach_loss.py:15-23): per-pixel
+    -(1-t)*logp0 - t*logp1."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    t = targets.astype(jnp.float32)
+    loss = -(1.0 - t) * logp[..., 0] - t * logp[..., 1]
+    return _reduce_per_image(loss, reduction) if reduction != "none" else loss
+
+
 def focal_loss(
     logits: jnp.ndarray,
     targets: jnp.ndarray,

@@ -126,3 +126,19 @@ class TestRegistry:
     def test_two_modal_detection(self):
         assert is_two_modal("fuseunetsa")
         assert not is_two_modal("unet32")
+
+
+class TestCAUpBlocks:
+    @pytest.mark.parametrize("residual", [False, True])
+    def test_ca_up_block(self, residual):
+        from aide_tpu.models.blocks import CAUpBlock
+
+        blk = CAUpBlock(
+            skip_features=4, features=4, residual=residual,
+            norm="group", dtype=jnp.float32,
+        )
+        skip = jnp.zeros((1, 16, 16, 4))
+        x = jnp.ones((1, 8, 8, 8))
+        v = blk.init(jax.random.key(0), skip, x, train=False)
+        out = blk.apply(v, skip, x, train=False)
+        assert out.shape == (1, 16, 16, 4)
