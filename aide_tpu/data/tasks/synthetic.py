@@ -33,6 +33,7 @@ class SyntheticTask(Task):
         slices_per_case: int = 8,
         size: int = 64,
         noisy_fraction: float = 0.0,
+        clean_cases: int = 0,
         seed: int = 0,
         **kw,
     ):
@@ -42,7 +43,15 @@ class SyntheticTask(Task):
         self.slices_per_case = slices_per_case
         self.size = size
         self.noisy_fraction = noisy_fraction
+        # the first `clean_cases` cases keep clean labels — the "labeled"
+        # annotation budget (the reference regimes always anchor on some
+        # clean supervision: the exempt labeled CHAOS case, the prostate
+        # labeled source domain, the breast 25 clean cases)
+        self.clean_cases = clean_cases
         self.seed = seed
+
+    def clean_case_ids(self):
+        return [f"case{c:02d}" for c in range(self.clean_cases)]
 
     # ---- generation ----
     def _gen(self, case: int, sl: int):
@@ -62,7 +71,7 @@ class SyntheticTask(Task):
         img = base + 120.0 * mask + 20.0 * rng.normal(size=(s, s))
         img = np.clip(img, 0, 255).astype(np.float32)
         noisy = mask
-        if rng.random() < self.noisy_fraction:
+        if case >= self.clean_cases and rng.random() < self.noisy_fraction:
             # corrupt the label: shift + scale the ellipse
             dy, dx = rng.integers(-s // 8, s // 8, size=2)
             noisy = np.roll(np.roll(mask, dy, 0), dx, 1)

@@ -110,7 +110,12 @@ class Trainer:
             v2 = self.model.init(jax.random.key(cfg.seed + 1), *dummy, train=False)
             self.state = DualTrainState.create(v1, v2, tx)
             if cfg.resume_file:
-                self.state = ckpt.warm_start_dual(self.state, cfg.resume_file)
+                if cfg.resume_file.endswith("_full.msgpack"):
+                    # exact resume: params + BN stats + optimizer moments
+                    self.state = ckpt.load_train_state(cfg.resume_file, self.state)
+                else:
+                    # reference-style warm start from one net's weights
+                    self.state = ckpt.warm_start_dual(self.state, cfg.resume_file)
             self.train_step = steps_mod.make_coteach_train_step(
                 self.model, self.two_modal, cfg
             )
@@ -153,12 +158,32 @@ class Trainer:
 
     # ------------------------------ epochs ------------------------------
 
+    @staticmethod
+    def _accumulate(totals, m):
+        """On-device metric accumulation: loss means are weighted by batch
+        count, dice sums add directly. No host sync inside the epoch — on
+        tunneled/remote backends a per-step fetch costs tens of ms."""
+        c = m["count"]
+        weighted = {
+            k: (v * c if k.startswith("loss") else v) for k, v in m.items()
+        }
+        if totals is None:
+            return weighted
+        return {k: totals[k] + weighted[k] for k in weighted}
+
+    @staticmethod
+    def _finalize(totals) -> Dict[str, float]:
+        if totals is None:
+            return {}
+        host = jax.device_get(totals)
+        count = max(float(host.pop("count")), 1.0)
+        return {k: float(v) / count for k, v in host.items()}
+
     def _train_epoch(self, epoch: int, rate: float) -> Dict[str, float]:
         cfg = self.cfg
         ekey = prng.epoch_key(self.root_key, epoch)
         shuffle_rng = np.random.default_rng(cfg.seed * 100003 + epoch)
-        totals: Dict[str, float] = {}
-        count = 0.0
+        totals = None
         rate_arr = jnp.asarray(rate, jnp.float32)
         for i, batch in enumerate(
             self.train_pipe.batches(cfg.data.batch_size, rng=shuffle_rng)
@@ -169,29 +194,20 @@ class Trainer:
                 self.state, m = self.train_step(self.state, batch, skey, rate_arr)
             else:
                 self.state, m = self.train_step(self.state, batch)
-            c = float(m.pop("count"))
-            count += c
-            for k, v in m.items():
-                scale = c if k.startswith("loss") else 1.0
-                totals[k] = totals.get(k, 0.0) + float(v) * scale
-        return {k: v / max(count, 1.0) for k, v in totals.items()}
+            totals = self._accumulate(totals, m)
+        return self._finalize(totals)
 
     def _test_epoch(self) -> Dict[str, float]:
         cfg = self.cfg
-        totals: Dict[str, float] = {}
-        count = 0.0
+        totals = None
         for batch in self.test_pipe.batches(
             cfg.data.eval_batch_size, shuffle=False, drop_last=False
         ):
             if self.dual:
                 batch = dict(batch, target1=batch["target"], target2=batch["target"])
             m = self.eval_step(self.state, self._shard(batch))
-            c = float(m.pop("count"))
-            count += c
-            for k, v in m.items():
-                scale = c if k.startswith("loss") else 1.0
-                totals[k] = totals.get(k, 0.0) + float(v) * scale
-        return {k: v / max(count, 1.0) for k, v in totals.items()}
+            totals = self._accumulate(totals, m)
+        return self._finalize(totals)
 
     # ------------------------------ refresh ------------------------------
 
@@ -368,4 +384,18 @@ class Trainer:
         self.logger.info("Start Training ({})".format(self.cfg.data.task))
         for epoch in range(n):
             self.run_epoch(epoch)
+        self._save_history()
         return self.history
+
+    def _save_history(self) -> None:
+        """Persist the epoch-metric rows (the comparison trainers keep a
+        'history' dict inside their checkpoints,
+        trainchaos_comparison_1case.py:127-128,206-230)."""
+        import json
+
+        os.makedirs(self.cfg.history_dir, exist_ok=True)
+        path = os.path.join(
+            self.cfg.history_dir, f"{self.cfg.experiment_name}_history.json"
+        )
+        with open(path, "w") as fh:
+            json.dump(self.history, fh, indent=2)

@@ -43,15 +43,18 @@ def infer_cases(
 ) -> List[Dict[int, np.ndarray]]:
     """Predicted volumes per case. Returns a list aligned with ``cases`` of
     {net_index: (S, H, W) uint8} (net_index 0 for single nets)."""
-    out = []
+    # dispatch every batch first (async device execution), fetch afterwards —
+    # a synchronous fetch per batch would serialize on link latency
+    pending = []
     for case in cases:
-        per_net: Dict[int, List[np.ndarray]] = {}
         for batch, valid in pipe.case_batches(str(case), batch_size):
-            pred = np.asarray(predict_step(state, batch))  # (2,B,H,W) or (B,H,W)
-            if not dual:
-                pred = pred[None]
-            for net in range(pred.shape[0]):
-                per_net.setdefault(net, []).append(pred[net][valid])
+            pending.append((case, valid, predict_step(state, batch)))
+
+    out = []
+    per_net: Dict[int, List[np.ndarray]] = {}
+    current = None
+
+    def flush():
         vols = {}
         for net, chunks in per_net.items():
             vol = np.concatenate(chunks, axis=0).astype(np.uint8)
@@ -59,6 +62,19 @@ def infer_cases(
                 vol = keep_largest_connected_components(vol)
             vols[net] = vol
         out.append(vols)
+        per_net.clear()
+
+    for case, valid, dev_pred in pending:
+        if current is not None and case != current:
+            flush()
+        current = case
+        pred = np.asarray(dev_pred)  # (2,B,H,W) or (B,H,W)
+        if not dual:
+            pred = pred[None]
+        for net in range(pred.shape[0]):
+            per_net.setdefault(net, []).append(pred[net][valid])
+    if current is not None:
+        flush()
     return out
 
 
