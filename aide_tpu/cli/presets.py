@@ -52,6 +52,7 @@ def chaos_comparison_1case(root: str) -> TrainConfig:
     split = os.path.join(root, "inputs_chaos", "All_Sets_split")
     cfg.data.train_csv = os.path.join(split, "splitimages_cleanlabel/train_data_1cases.csv")
     cfg.data.traincase_csv = os.path.join(split, "splitcases/train_data_1cases.csv")
+    cfg.repetition = 2
     return cfg
 
 
@@ -64,6 +65,7 @@ def chaos_comparison_30cases1labeled(root: str) -> TrainConfig:
     )
     cfg.data.traincase_csv = os.path.join(split, "splitcases/train_data_30cases.csv")
     cfg.data.labelcase_csv = os.path.join(split, "splitcases/train_data_1cases.csv")
+    cfg.repetition = 300
     return cfg
 
 
@@ -97,11 +99,12 @@ def _prostate_crossdomain(root: str, direction: str, variant: str) -> TrainConfi
     cfg.data.test_csv = os.path.join(base, f"{direction}_testall.csv")
     cfg.data.traincase_csv = os.path.join(base, f"{direction}_casetrain.csv")
     cfg.data.testcase_csv = os.path.join(base, f"{direction}_casetestall.csv")
+    cfg.repetition = 100
     if variant == "proposed":
         cfg.data.labelcase_csv = os.path.join(
             base, f"{direction}_labeledcasetrain.csv"
         )
-        cfg.data.tempmask_folder = f"generated_masks_{direction}/unet_200"
+        cfg.data.tempmask_folder = f"generated_masks_{direction}/unet_100"
     return cfg
 
 
@@ -133,6 +136,8 @@ def _prostate_singledomain(root: str, domain: str) -> TrainConfig:
     cfg.data.test_csv = os.path.join(base, f"{domain}_testall.csv")
     cfg.data.traincase_csv = os.path.join(base, f"{domain}_casetrain.csv")
     cfg.data.testcase_csv = os.path.join(base, f"{domain}_casetestall.csv")
+    cfg.data.batch_size = 8      # singledomain scripts default to bs 8
+    cfg.repetition = 1
     return cfg
 
 
@@ -159,9 +164,13 @@ def _kidney(root: str, mask: int, variant: str) -> TrainConfig:
         root, "inputs_qubiq/csv_files/kidney/task1_validation.csv"
     )
     cfg.data.mask_identity = mask
+    cfg.data.img_size = 512      # kidney scripts run at 512 px
+    cfg.repetition = 1
     if variant == "proposed":
+        cfg.optim.lr = 1e-5      # trainkidney_proposed_mask1.py:39
+        cfg.repetition = 100
         cfg.data.tempmask_folder = (
-            f"generated_masks_kidney/Task1Mask{mask}_unet_warmup20_temp1.0_r200"
+            f"generated_masks_kidney/Task1Mask{mask}_unet_warmup20_temp1.0_r100"
         )
         cfg.coteach.refresh_skip_empty = True
         cfg.ascending_checkpoint_gate = True
@@ -192,12 +201,17 @@ def _breast(root: str, train_csv: str, variant: str) -> TrainConfig:
     cfg.data.test_csv = os.path.join(
         base, "BreastMR_csvfiles/splitcleanlabels/val_data_100cases_imgs.csv"
     )
+    cfg.data.img_size = 384      # breast scripts run at 384 px
+    cfg.repetition = 1
     if variant == "proposed":
+        cfg.optim.lr = 1e-5      # trainbreast_dataset3_proposed...: lr default
         cfg.data.labelcase_csv = os.path.join(
             base, "BreastMR_csvfiles/splitcleanlabels/train_data_25cases_cases.csv"
         )
-        cfg.data.tempmask_folder = "generated_masks_25labels/unet_warmup20_temp1.0_r200"
+        cfg.data.tempmask_folder = "generated_masks_25labels/unet_warmup20_temp1.0_r1"
         cfg.coteach.sharpen_mode = "pow_inv_t"
+    else:
+        cfg.data.batch_size = 1  # breast comparison scripts default to bs 1
     return cfg
 
 

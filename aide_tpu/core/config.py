@@ -122,6 +122,11 @@ class CoteachConfig:
     # kidney convention: do not overwrite a working label with an empty
     # prediction (trainkidney_proposed_mask1.py:417)
     refresh_skip_empty: bool = False
+    # relative weight noise added per net on single-checkpoint warm start;
+    # without it both nets stay bit-identical under deterministic execution
+    # and co-teaching degenerates to self-training (the reference diverges
+    # only via GPU nondeterminism)
+    warm_start_noise: float = 1e-3
     # BN statistics used for the TTA forwards: 'batch' matches the flagship
     # trainer (nets stay in train mode during TTA); 'running' matches the
     # kidney trainers' explicit net.eval() (trainkidney_proposed_mask1.py:267).

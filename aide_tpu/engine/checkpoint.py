@@ -80,15 +80,36 @@ def load_train_state(path: str, state):
     return state.replace(**restored)
 
 
-def warm_start_dual(state: DualTrainState, net_ckpt_path: str) -> DualTrainState:
+def warm_start_dual(
+    state: DualTrainState, net_ckpt_path: str, symmetry_noise: float = 1e-3,
+    seed: int = 0,
+) -> DualTrainState:
     """Load one pretrained single-net checkpoint into BOTH nets (the kidney
     trainers' --resumefile warm start, trainkidney_proposed_mask1.py:180-182).
+
+    ``symmetry_noise`` adds independent relative Gaussian noise to each
+    net's weights. This is load-bearing: with bit-identical nets, identical
+    batches, and deterministic TPU execution, both nets receive identical
+    gradients forever and co-teaching degenerates into self-training (the
+    reference relies on accidental GPU-side nondeterminism to diverge).
     """
+    import jax.numpy as jnp
+
     template = state.net_variables(0)
     restored = load_net(net_ckpt_path, template)
-    stacked_params = jax.tree_util.tree_map(
-        lambda s, r: s.at[0].set(r).at[1].set(r), state.params, restored["params"]
-    )
+
+    key_holder = [jax.random.key(seed)]
+
+    def fill(s, r):
+        stacked = s.at[0].set(r).at[1].set(r)
+        if symmetry_noise and jnp.issubdtype(stacked.dtype, jnp.floating):
+            key_holder[0], sub = jax.random.split(key_holder[0])
+            scale = symmetry_noise * (jnp.std(r) + 1e-8)
+            noise = scale * jax.random.normal(sub, stacked.shape, stacked.dtype)
+            stacked = stacked + noise
+        return stacked
+
+    stacked_params = jax.tree_util.tree_map(fill, state.params, restored["params"])
     new = state.replace(params=stacked_params)
     if "batch_stats" in restored and restored["batch_stats"]:
         stacked_stats = jax.tree_util.tree_map(

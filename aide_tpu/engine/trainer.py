@@ -115,7 +115,12 @@ class Trainer:
                     self.state = ckpt.load_train_state(cfg.resume_file, self.state)
                 else:
                     # reference-style warm start from one net's weights
-                    self.state = ckpt.warm_start_dual(self.state, cfg.resume_file)
+                    self.state = ckpt.warm_start_dual(
+                        self.state,
+                        cfg.resume_file,
+                        symmetry_noise=cfg.coteach.warm_start_noise,
+                        seed=cfg.seed,
+                    )
             self.train_step = steps_mod.make_coteach_train_step(
                 self.model, self.two_modal, cfg
             )

@@ -53,6 +53,10 @@ def build_cfg(variant: str, workdir: str, epochs: int, resume: str = ""):
     cfg.coteach.warmup_epochs = max(2, epochs // 3)
     cfg.coteach.consistency_weight = 1.0
     cfg.coteach.update_percent = 0.25
+    if variant == "proposed":
+        # the reference's noisy-annotation trainers fine-tune at 1e-5
+        # (trainkidney_proposed_mask1.py:39)
+        cfg.optim.lr = 1e-5
     cfg.resume_file = resume
     cfg.checkpoint_dir = os.path.join(workdir, f"ckpt_{variant}")
     cfg.history_dir = os.path.join(workdir, f"hist_{variant}")

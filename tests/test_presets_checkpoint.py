@@ -96,10 +96,29 @@ class TestCheckpointRoundtrip:
         p = str(tmp_path / "net.msgpack")
         ckpt.save_net(p, single.variables(), {"epoch": 1})
         dual = self._make_state(dual=True)
-        warmed = ckpt.warm_start_dual(dual, p)
+        warmed = ckpt.warm_start_dual(dual, p, symmetry_noise=0.0)
         for leaf_s, leaf_d in zip(
             jax.tree_util.tree_leaves(single.params),
             jax.tree_util.tree_leaves(warmed.params),
         ):
             assert np.array_equal(leaf_d[0], leaf_s)
             assert np.array_equal(leaf_d[1], leaf_s)
+
+    def test_warm_start_symmetry_noise_diverges_nets(self, tmp_path):
+        single = self._make_state(dual=False)
+        p = str(tmp_path / "net.msgpack")
+        ckpt.save_net(p, single.variables(), {"epoch": 1})
+        dual = self._make_state(dual=True)
+        warmed = ckpt.warm_start_dual(dual, p, symmetry_noise=1e-3)
+        diffs = [
+            np.abs(l[0] - l[1]).max()
+            for l in jax.tree_util.tree_leaves(warmed.params)
+            if np.issubdtype(l.dtype, np.floating) and l[0].std() > 0
+        ]
+        assert max(diffs) > 0  # nets start distinct
+        # but stay close to the loaded weights
+        for leaf_s, leaf_d in zip(
+            jax.tree_util.tree_leaves(single.params),
+            jax.tree_util.tree_leaves(warmed.params),
+        ):
+            assert np.allclose(leaf_d[0], leaf_s, atol=0.05 * (abs(leaf_s).max() + 1e-3))

@@ -109,8 +109,9 @@ class TestResume:
         import jax
 
         leaves = jax.tree_util.tree_leaves(p)
-        # warm start loads the same weights into both nets
-        assert all(np.allclose(l[0], l[1]) for l in leaves)
+        # warm start loads the same weights into both nets, plus tiny
+        # symmetry-breaking noise
+        assert all(np.allclose(l[0], l[1], atol=0.05) for l in leaves)
 
     def test_ascending_gate_defers_checkpoint(self, tmp_path):
         tr = make_trainer(
