@@ -34,6 +34,7 @@ class SyntheticTask(Task):
         size: int = 64,
         noisy_fraction: float = 0.0,
         clean_cases: int = 0,
+        noise_shift_divisor: int = 8,
         seed: int = 0,
         **kw,
     ):
@@ -48,6 +49,15 @@ class SyntheticTask(Task):
         # clean supervision: the exempt labeled CHAOS case, the prostate
         # labeled source domain, the breast 25 clean cases)
         self.clean_cases = clean_cases
+        # corrupted masks are shifted by up to size/noise_shift_divisor px;
+        # smaller divisor = heavier corruption
+        self.noise_shift_divisor = noise_shift_divisor
+        # held-out split: load_manifest(train=False) generates
+        # ``num_test_cases`` cases starting at ``test_case_offset``.
+        # offset 0 (default) keeps the historical behavior (test = the train
+        # cases with clean labels); a large offset gives unseen anatomy.
+        self.test_case_offset = int(kw.get("test_case_offset", 0))
+        self.num_test_cases = int(kw.get("num_test_cases", num_cases))
         self.seed = seed
 
     def clean_case_ids(self):
@@ -72,8 +82,9 @@ class SyntheticTask(Task):
         img = np.clip(img, 0, 255).astype(np.float32)
         noisy = mask
         if case >= self.clean_cases and rng.random() < self.noisy_fraction:
-            # corrupt the label: shift + scale the ellipse
-            dy, dx = rng.integers(-s // 8, s // 8, size=2)
+            # corrupt the label: shift the ellipse
+            lim = max(1, s // self.noise_shift_divisor)
+            dy, dx = rng.integers(-lim, lim, size=2)
             noisy = np.roll(np.roll(mask, dy, 0), dx, 1)
         return img, mask, noisy
 
@@ -81,7 +92,14 @@ class SyntheticTask(Task):
     def load_manifest(self, csv_path: str = "", train: bool = True) -> List[SliceSpec]:
         specs = []
         i = 0
-        for case in range(self.num_cases):
+        if train:
+            case_range = range(self.num_cases)
+        else:
+            case_range = range(
+                self.test_case_offset,
+                self.test_case_offset + self.num_test_cases,
+            )
+        for case in case_range:
             for sl in range(self.slices_per_case):
                 specs.append(
                     SliceSpec(

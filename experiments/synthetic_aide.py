@@ -1,22 +1,20 @@
-"""AIDE-vs-baseline on synthetic noisy labels.
+"""AIDE-vs-baseline on synthetic noisy labels — 3-stage protocol.
 
-Reproduces the reference's qualitative claim (SURVEY §6: +0.072 Dice for the
-proposed dual-net co-teaching over the supervised baseline at equal
-annotation budget) on the self-contained synthetic task, mirroring the
-reference's noisy-annotation regime (kidney/breast):
+Mirrors the reference's CHAOS ladder (SURVEY §6: pretrain 0.756 -> naive
+pseudo-label training 0.799 -> AIDE 0.871):
 
-  * 18 train cases; 4 carry clean labels (the annotation budget), the other
-    14 have corrupted (shifted) masks with probability 0.6;
-  * the COMPARISON run trains a single net on that mix directly;
-  * the PROPOSED run warm-starts both nets from the comparison checkpoint
-    (the kidney trainers' --resumefile pattern) and applies the full AIDE
-    loop — TTA pseudo-labels, small-loss exchange, consistency, worst-case
-    label refresh with the clean cases exempt;
-  * both are scored against CLEAN ground truth on held-out cases.
+  1. PRETRAIN: supervised on the 4 clean-labeled cases only (the annotation
+     budget) — equivalent of trainchaos_comparison_1case.
+  2. NAIVE: supervised on all 18 cases, 14 of which carry heavily corrupted
+     masks (90% of slices shifted by up to 1/4 image) — equivalent of
+     trainchaos_comparison_30cases1labeled / breast 272cases25labeled.
+  3. AIDE: dual-net co-teaching warm-started from the PRETRAIN checkpoint
+     (clean-anchored, not noise-memorized), TTA pseudo-labels, small-loss
+     exchange, consistency, worst-case label refresh with clean cases
+     exempt.
 
-Without the clean anchor the proposed loop collapses by confirmation bias
-(early refresh overwrites labels with an untrained net's predictions) — the
-reference never runs it unanchored either.
+All scored against CLEAN ground truth on held-out cases. The AIDE claim is
+stage 3 > stage 2 (and ideally > stage 1).
 
 Usage: python experiments/synthetic_aide.py [--epochs N] [--out results.json]
 """
@@ -33,59 +31,68 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 NUM_CASES = 18
 CLEAN_CASES = 4
-NOISY_FRACTION = 0.6
+NOISY_FRACTION = 0.9
+NOISE_SHIFT_DIVISOR = 4   # +-16 px shifts at 64 px: corrupted masks barely overlap GT
+SEED = 11
 
 
-def build_cfg(variant: str, workdir: str, epochs: int, resume: str = ""):
+def build_cfg(stage: str, workdir: str, epochs: int, resume: str = ""):
     from aide_tpu.core.config import TrainConfig, ModelConfig
 
     cfg = TrainConfig()
     cfg.model = ModelConfig(name="unet8", compute_dtype="bfloat16", norm="batch")
     cfg.data.task = "synthetic"
-    cfg.data.variant = variant
+    cfg.data.variant = "proposed" if stage == "aide" else "comparison"
     cfg.data.img_size = 64
     cfg.data.batch_size = 8
     cfg.data.eval_batch_size = 8
     cfg.data.num_tta_views = 4
     cfg.data.rotation_degree = 45.0
-    cfg.data.tempmask_folder = f"tempmasks_{variant}"
+    cfg.data.tempmask_folder = f"tempmasks_{stage}"
     cfg.num_epochs = epochs
     cfg.coteach.warmup_epochs = max(2, epochs // 3)
     cfg.coteach.consistency_weight = 1.0
     cfg.coteach.update_percent = 0.25
-    if variant == "proposed":
+    if stage == "aide":
         # the reference's noisy-annotation trainers fine-tune at 1e-5
         # (trainkidney_proposed_mask1.py:39)
         cfg.optim.lr = 1e-5
     cfg.resume_file = resume
-    cfg.checkpoint_dir = os.path.join(workdir, f"ckpt_{variant}")
-    cfg.history_dir = os.path.join(workdir, f"hist_{variant}")
+    cfg.checkpoint_dir = os.path.join(workdir, f"ckpt_{stage}")
+    cfg.history_dir = os.path.join(workdir, f"hist_{stage}")
     return cfg
 
 
-def make_task(workdir: str, variant: str):
+def make_task(workdir: str, stage: str, num_cases: int):
+    """Cases are generated per (case, slice, seed), so the clean cases 0-3
+    are identical across stages regardless of num_cases."""
     from aide_tpu.data.tasks.synthetic import SyntheticTask
 
     return SyntheticTask(
-        root=os.path.join(workdir, f"data_{variant}"),
-        tempmask_folder=f"tempmasks_{variant}",
-        num_cases=NUM_CASES,
+        root=os.path.join(workdir, f"data_{stage}"),
+        tempmask_folder=f"tempmasks_{stage}",
+        num_cases=num_cases,
         slices_per_case=8,
         size=64,
         noisy_fraction=NOISY_FRACTION,
         clean_cases=CLEAN_CASES,
-        seed=11,
+        noise_shift_divisor=NOISE_SHIFT_DIVISOR,
+        seed=SEED,
+        test_case_offset=100,   # held-out anatomy, clean labels
+        num_test_cases=8,
     )
 
 
-def run(variant: str, workdir: str, epochs: int, resume: str = "") -> dict:
+def run(stage: str, workdir: str, epochs: int, resume: str = "") -> dict:
     from aide_tpu.engine.trainer import Trainer
 
-    task = make_task(workdir, variant)
-    cfg = build_cfg(variant, workdir, epochs, resume)
+    num_cases = CLEAN_CASES if stage == "pretrain" else NUM_CASES
+    task = make_task(workdir, stage, num_cases)
+    cfg = build_cfg(stage, workdir, epochs, resume)
     t0 = time.time()
     trainer = Trainer(cfg, task=task)
     trainer.label_cases = set(task.clean_case_ids())
+    # evaluate on held-out cases from an independent generator segment
     history = trainer.run(epochs)
     last = history[-1]
     best_test = max(
@@ -93,48 +100,60 @@ def run(variant: str, workdir: str, epochs: int, resume: str = "") -> dict:
         for r in history
     )
     return {
-        "variant": variant,
+        "stage": stage,
         "epochs": epochs,
         "final_testcase_dice": max(
             last.get("testcase_dice1", 0.0), last.get("testcase_dice2", 0.0)
         ),
         "best_testcase_dice": best_test,
         "minutes": round((time.time() - t0) / 60, 1),
-        "checkpoint_dir": cfg.checkpoint_dir,
-        "experiment_name": cfg.experiment_name,
+        "checkpoint": os.path.join(
+            cfg.checkpoint_dir,
+            f"{cfg.experiment_name}"
+            + ("_net1" if stage == "aide" else "")
+            + "_besttraincasedice.msgpack",
+        ),
     }
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=24)
-    ap.add_argument("--workdir", default="/tmp/aide_synth_exp2")
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--workdir", default="/tmp/aide_synth_exp")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
     results = {}
-    results["comparison"] = run("comparison", args.workdir, args.epochs)
-    print(json.dumps(results["comparison"]), flush=True)
+    results["pretrain"] = run("pretrain", args.workdir, max(10, args.epochs // 2))
+    print(json.dumps(results["pretrain"]), flush=True)
 
-    resume = os.path.join(
-        results["comparison"]["checkpoint_dir"],
-        f"{results['comparison']['experiment_name']}_besttraincasedice.msgpack",
-    )
-    results["proposed"] = run("proposed", args.workdir, args.epochs, resume)
-    print(json.dumps(results["proposed"]), flush=True)
+    results["naive"] = run("naive", args.workdir, args.epochs)
+    print(json.dumps(results["naive"]), flush=True)
 
-    delta = (
-        results["proposed"]["best_testcase_dice"]
-        - results["comparison"]["best_testcase_dice"]
+    results["aide"] = run(
+        "aide", args.workdir, args.epochs, resume=results["pretrain"]["checkpoint"]
     )
+    print(json.dumps(results["aide"]), flush=True)
+
     summary = {
         "noisy_fraction": NOISY_FRACTION,
+        "noise_shift_divisor": NOISE_SHIFT_DIVISOR,
         "clean_cases": CLEAN_CASES,
         "num_cases": NUM_CASES,
-        "comparison_best_dice": results["comparison"]["best_testcase_dice"],
-        "proposed_best_dice": results["proposed"]["best_testcase_dice"],
-        "aide_delta": round(delta, 4),
+        "pretrain_best_dice": results["pretrain"]["best_testcase_dice"],
+        "naive_best_dice": results["naive"]["best_testcase_dice"],
+        "aide_best_dice": results["aide"]["best_testcase_dice"],
+        "aide_over_naive": round(
+            results["aide"]["best_testcase_dice"]
+            - results["naive"]["best_testcase_dice"],
+            4,
+        ),
+        "aide_over_pretrain": round(
+            results["aide"]["best_testcase_dice"]
+            - results["pretrain"]["best_testcase_dice"],
+            4,
+        ),
     }
     print(json.dumps(summary), flush=True)
     if args.out:
