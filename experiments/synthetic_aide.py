@@ -118,14 +118,17 @@ def run(stage: str, workdir: str, epochs: int, resume: str = "") -> dict:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--epochs", type=int, default=40)
+    # the pretrain stage sees only 4 cases (32 slices, 4 steps/epoch) and
+    # needs many epochs to converge, like the reference's 100-epoch pretrain
+    ap.add_argument("--pretrain-epochs", type=int, default=60)
     ap.add_argument("--workdir", default="/tmp/aide_synth_exp")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
     results = {}
-    results["pretrain"] = run("pretrain", args.workdir, max(10, args.epochs // 2))
+    results["pretrain"] = run("pretrain", args.workdir, args.pretrain_epochs)
     print(json.dumps(results["pretrain"]), flush=True)
 
     results["naive"] = run("naive", args.workdir, args.epochs)
