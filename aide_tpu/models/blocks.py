@@ -27,6 +27,16 @@ def resolve_dtype(name: str):
     ]
 
 
+def maybe_remat(module_cls, enabled: bool, train_argnum: int):
+    """Wrap a block in lifted rematerialization (checkpoint) when enabled.
+
+    ``train_argnum`` is the position of the static ``train`` flag in the
+    transformed call signature (self included)."""
+    if not enabled:
+        return module_cls
+    return nn.remat(module_cls, static_argnums=(train_argnum,))
+
+
 class Norm(nn.Module):
     """Norm factory: 'batch' (synced over `axis_name` replicas) or 'group'."""
 

@@ -22,7 +22,13 @@ from flax import linen as nn
 
 from aide_tpu.core.registry import MODELS
 from aide_tpu.models import blocks
-from aide_tpu.models.blocks import ConvBlock, SpatialAttention, UpBlock, max_pool_2x2
+from aide_tpu.models.blocks import (
+    ConvBlock,
+    SpatialAttention,
+    UpBlock,
+    max_pool_2x2,
+    maybe_remat,
+)
 
 
 class FuseUNet(nn.Module):
@@ -36,12 +42,15 @@ class FuseUNet(nn.Module):
     group_norm_groups: int = 8
     axis_name: Optional[str] = None
     compute_dtype: str = "bfloat16"
+    remat: bool = False
 
     @nn.compact
     def __call__(self, modal1, modal2, train: bool = True):
         if self.variant not in ("plain", "sa", "sa_separate"):
             raise ValueError(f"unknown FuseUNet variant {self.variant!r}")
         dtype = blocks.resolve_dtype(self.compute_dtype)
+        Block = maybe_remat(ConvBlock, self.remat, 2)
+        Up = maybe_remat(UpBlock, self.remat, 3)
         w = self.base_width
         widths = [w, 2 * w, 4 * w, 8 * w, 16 * w]
         common = dict(
@@ -76,15 +85,15 @@ class FuseUNet(nn.Module):
             if level > 0:
                 y = max_pool_2x2(fused[-1] if fused_descent else y)
                 x = max_pool_2x2(x)
-            y = ConvBlock(feats, name=f"modal1_block{level + 1}", **common)(y, train)
+            y = Block(feats, name=f"modal1_block{level + 1}", **common)(y, train)
             y = gate(y, f"modal1_sa{level + 1}")
-            x = ConvBlock(feats, name=f"modal2_block{level + 1}", **common)(x, train)
+            x = Block(feats, name=f"modal2_block{level + 1}", **common)(x, train)
             x = gate(x, f"modal2_sa{level + 1}")
             fused.append(jnp.concatenate([y, x], axis=-1))  # 2*feats channels
 
         out = fused[-1]
         for level in range(3, -1, -1):
-            out = UpBlock(
+            out = Up(
                 skip_features=2 * widths[level],
                 features=2 * widths[level],
                 learned_bilinear=self.learned_bilinear,
@@ -118,6 +127,7 @@ def _register():
                 norm=cfg.norm,
                 group_norm_groups=cfg.group_norm_groups,
                 compute_dtype=cfg.compute_dtype,
+                remat=cfg.remat,
             )
 
 

@@ -16,7 +16,13 @@ from flax import linen as nn
 
 from aide_tpu.core.registry import MODELS
 from aide_tpu.models import blocks
-from aide_tpu.models.blocks import ConvBlock, DownBlock, SpatialAttention, UpBlock
+from aide_tpu.models.blocks import (
+    ConvBlock,
+    DownBlock,
+    SpatialAttention,
+    UpBlock,
+    maybe_remat,
+)
 
 
 class UNet(nn.Module):
@@ -30,10 +36,13 @@ class UNet(nn.Module):
     group_norm_groups: int = 8
     axis_name: Optional[str] = None
     compute_dtype: str = "bfloat16"
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         dtype = blocks.resolve_dtype(self.compute_dtype)
+        Down = maybe_remat(DownBlock, self.remat, 2)
+        Up = maybe_remat(UpBlock, self.remat, 3)
         w = self.base_width
         widths = [w, 2 * w, 4 * w, 8 * w, 16 * w]
         common = dict(
@@ -46,7 +55,10 @@ class UNet(nn.Module):
 
         skips = []
         for level, feats in enumerate(widths):
-            x = DownBlock(feats, pool=level > 0, **common)(x, train)
+            # explicit names keep checkpoints identical with/without remat
+            x = Down(feats, pool=level > 0, name=f"down_block{level + 1}", **common)(
+                x, train
+            )
             if self.spatial_attention:
                 gate = SpatialAttention(
                     self.attention_reduction,
@@ -60,10 +72,11 @@ class UNet(nn.Module):
             skips.append(x)
 
         for level in range(3, -1, -1):
-            x = UpBlock(
+            x = Up(
                 skip_features=widths[level],
                 features=widths[level],
                 learned_bilinear=self.learned_bilinear,
+                name=f"up_block{4 - level}",
                 **common,
             )(skips[level], x, train)
 
@@ -87,6 +100,7 @@ def _register_width_variants():
                 norm=cfg.norm,
                 group_norm_groups=cfg.group_norm_groups,
                 compute_dtype=cfg.compute_dtype,
+                remat=cfg.remat,
             )
 
     make("unet", 64)

@@ -142,3 +142,43 @@ class TestCAUpBlocks:
         v = blk.init(jax.random.key(0), skip, x, train=False)
         out = blk.apply(v, skip, x, train=False)
         assert out.shape == (1, 16, 16, 4)
+
+
+class TestRemat:
+    def test_remat_matches_no_remat(self):
+        x = jnp.ones((1, 16, 16, 3)) * 0.3
+        a = UNet(num_classes=2, base_width=4, compute_dtype="float32", remat=False)
+        b = UNet(num_classes=2, base_width=4, compute_dtype="float32", remat=True)
+        va = a.init(jax.random.key(0), x, train=False)
+        vb = b.init(jax.random.key(0), x, train=False)
+        # same parameter structure and values (remat is a lifted transform)
+        la = jax.tree_util.tree_leaves(va["params"])
+        lb = jax.tree_util.tree_leaves(vb["params"])
+        assert all(np.array_equal(p, q) for p, q in zip(la, lb))
+        oa = a.apply(va, x, train=False)
+        ob = b.apply(vb, x, train=False)
+        assert np.allclose(np.asarray(oa), np.asarray(ob), atol=1e-6)
+
+    def test_remat_grads_match(self):
+        x = jnp.ones((2, 16, 16, 3)) * 0.5
+        t = jnp.zeros((2, 16, 16), jnp.int32)
+        from aide_tpu.ops import losses
+
+        def make_loss(model, v):
+            def loss(p):
+                out, _ = model.apply(
+                    {"params": p, "batch_stats": v["batch_stats"]},
+                    x, train=True, mutable=["batch_stats"],
+                )
+                return losses.cem_dice_loss(out, t)
+            return loss
+
+        a = UNet(num_classes=2, base_width=2, compute_dtype="float32", remat=False)
+        b = UNet(num_classes=2, base_width=2, compute_dtype="float32", remat=True)
+        va = a.init(jax.random.key(1), x, train=False)
+        vb = b.init(jax.random.key(1), x, train=False)
+        ga = jax.grad(make_loss(a, va))(va["params"])
+        gb = jax.grad(make_loss(b, vb))(vb["params"])
+        la = jax.tree_util.tree_leaves(ga)
+        lb = jax.tree_util.tree_leaves(gb)
+        assert all(np.allclose(p, q, atol=1e-5) for p, q in zip(la, lb))
