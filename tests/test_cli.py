@@ -1,0 +1,68 @@
+"""CLI end-to-end tests (train -> eval -> predict on the synthetic preset)."""
+
+import json
+import os
+
+import pytest
+
+from aide_tpu.cli.main import main
+
+
+@pytest.mark.slow
+def test_train_eval_predict_cycle(tmp_path, capsys):
+    work = str(tmp_path)
+    common = [
+        "--preset", "synthetic_supervised",
+        "--set",
+        f"data.root={work}/data",
+        f"checkpoint_dir={work}/ckpt",
+        f"history_dir={work}/hist",
+        "data.img_size=32",
+        "model.name=unet2",
+        "num_epochs=1",
+    ]
+    assert main(["train"] + common + ["--epochs", "1"]) == 0
+    ckpts = [f for f in os.listdir(f"{work}/ckpt") if f.endswith(".msgpack")]
+    assert any("besttraincasedice" in f for f in ckpts)
+    ckpt = os.path.join(
+        f"{work}/ckpt",
+        next(f for f in ckpts if "besttraincasedice" in f and "json" not in f),
+    )
+
+    assert (
+        main(
+            ["eval"] + common + ["--checkpoint", ckpt, "--output", f"{work}/evalout"]
+        )
+        == 0
+    )
+    csvs = [f for f in os.listdir(f"{work}/evalout") if f.endswith(".csv")]
+    assert len(csvs) == 1
+    with open(os.path.join(f"{work}/evalout", csvs[0])) as fh:
+        header = fh.readline().strip()
+    assert header == "Patient_case,Dice,IoU,TP,TN,FP,FN"
+
+    assert (
+        main(
+            ["predict"] + common + ["--checkpoint", ckpt, "--output", f"{work}/pred"]
+        )
+        == 0
+    )
+    assert os.path.isdir(f"{work}/pred")
+    assert any(os.listdir(f"{work}/pred"))
+
+
+def test_eval_requires_checkpoint(tmp_path):
+    rc = main(
+        [
+            "eval", "--preset", "synthetic_supervised",
+            "--set", f"data.root={tmp_path}/d", "data.img_size=32",
+            "model.name=unet2",
+        ]
+    )
+    assert rc == 2
+
+
+def test_presets_command(capsys):
+    assert main(["presets"]) == 0
+    out = capsys.readouterr().out
+    assert "chaos_proposed_30cases1labeled" in out
