@@ -44,5 +44,6 @@ from aide_tpu.ops.coteach import (  # noqa: F401
     coteach_weight_image,
     coteach_drop_region_ce,
     coteach_drop_image_drop_pixel,
+    pixel_coreg_focal,
     pixel_coreg_focal_two_model,
 )

@@ -196,6 +196,45 @@ def coteach_drop_image_drop_pixel(
     return loss1, loss2
 
 
+def pixel_coreg_focal(
+    logits1: jnp.ndarray,
+    logits2: jnp.ndarray,
+    logits3: jnp.ndarray,
+    targets: jnp.ndarray,
+    forget_rate: float,
+    kd_weight: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Three-model pixel co-regularization (Pixelcoreg_Focalloss,
+    reg_loss.py:58-128): nets 1/2 co-regularize via symmetric KL; the joint
+    focal+KL map selects the lowest (1-forget_rate) pixels per image, and
+    the KEPT loss is net 3's focal loss at those pixels. Returns
+    (mean kept loss, foreground-retention ratio)."""
+    b = targets.shape[0]
+    t = targets.astype(jnp.float32)
+
+    def focal(logits):
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return (
+            -t * (1 - probs[..., 1]) ** 2 * logp[..., 1]
+            - (1 - t) * (1 - probs[..., 0]) ** 2 * logp[..., 0]
+        )
+
+    l1 = focal(logits1).reshape(b, -1)
+    l2 = focal(logits2).reshape(b, -1)
+    l3 = focal(logits3).reshape(b, -1)
+    kl = losses.kl_bidirectional(logits1, logits2).reshape(b, -1)
+    joint = (1.0 - kd_weight) * (l1 + l2 + l3) + kd_weight * kl
+
+    npix = joint.shape[1]
+    k = _num_remember(forget_rate, npix)
+    order = jnp.argsort(joint, axis=1)[:, :k]
+    kept = jnp.take_along_axis(l3, order, axis=1)
+    kept_t = jnp.take_along_axis(t.reshape(b, -1), order, axis=1)
+    retention = jnp.sum(kept_t) / jnp.maximum(jnp.sum(t), 1.0)
+    return jnp.mean(kept), retention
+
+
 def pixel_coreg_focal_two_model(
     logits1: jnp.ndarray,
     logits2: jnp.ndarray,

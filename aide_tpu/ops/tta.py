@@ -93,9 +93,19 @@ def sharpen(probs: jnp.ndarray, temperature: float, mode: str = "pow_t") -> jnp.
 
 
 def confidence_weightmap(pseudo_probs: jnp.ndarray) -> jnp.ndarray:
-    """w = 1 - 4*p0*p1 — low near the decision boundary
-    (trainchaos_proposed_30cases1labeled.py:289-292). Returns (..., 1)."""
-    w = 1.0 - 4.0 * pseudo_probs[..., 0] * pseudo_probs[..., 1]
+    """Confidence weight in [0, 1], low near the decision boundary.
+
+    Binary (C=2): the reference's w = 1 - 4*p0*p1
+    (trainchaos_proposed_30cases1labeled.py:289-292). Multi-class
+    generalization: 1 - normalized entropy (identical intent; the reference
+    only trains binary heads). Returns (..., 1)."""
+    c = pseudo_probs.shape[-1]
+    if c == 2:
+        w = 1.0 - 4.0 * pseudo_probs[..., 0] * pseudo_probs[..., 1]
+    else:
+        p = jnp.clip(pseudo_probs, 1e-8, 1.0)
+        entropy = -jnp.sum(p * jnp.log(p), axis=-1)
+        w = 1.0 - entropy / jnp.log(float(c))
     return w[..., None]
 
 

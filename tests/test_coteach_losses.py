@@ -111,3 +111,36 @@ class TestPixelCoreg:
         )
         assert np.isfinite(float(loss))
         assert 0.0 <= float(retention) <= 1.0
+
+
+class TestPixelCoregThreeModel:
+    def test_three_model_runs(self):
+        l1, l2, t = _batch_with_known_ranking()
+        l3 = l1 * 0.9 + l2 * 0.1
+        loss, retention = coteach.pixel_coreg_focal(
+            l1, l2, l3, t, forget_rate=0.3, kd_weight=0.5
+        )
+        assert np.isfinite(float(loss))
+        assert 0.0 <= float(retention) <= 1.0
+
+
+class TestMulticlassWeightmap:
+    def test_binary_matches_reference_formula(self):
+        import jax.numpy as jnp
+        from aide_tpu.ops import tta
+
+        p = jnp.asarray([[[[0.5, 0.5], [0.9, 0.1]]]])
+        w = np.asarray(tta.confidence_weightmap(p))[0, 0, :, 0]
+        assert abs(w[0] - 0.0) < 1e-6
+        assert abs(w[1] - (1 - 4 * 0.9 * 0.1)) < 1e-6
+
+    def test_multiclass_entropy_bounds(self):
+        import jax.numpy as jnp
+        from aide_tpu.ops import tta
+
+        uniform = jnp.full((1, 1, 1, 5), 0.2)
+        certain = jnp.asarray([0.96, 0.01, 0.01, 0.01, 0.01]).reshape(1, 1, 1, 5)
+        wu = float(tta.confidence_weightmap(uniform)[0, 0, 0, 0])
+        wc = float(tta.confidence_weightmap(certain)[0, 0, 0, 0])
+        assert wu < 0.01
+        assert wc > 0.8
