@@ -164,6 +164,10 @@ class SlicePipeline:
     def case_indices(self, case_id: str) -> List[int]:
         return self.case_slices[str(case_id)]
 
+    def batch_at(self, indices) -> Dict[str, np.ndarray]:
+        """Batch assembled from explicit slice indices (packed case eval)."""
+        return self._batch_from(np.asarray(indices))
+
     def case_batches(self, case_id: str, batch_size: int):
         """Slice batches of one case, padded to ``batch_size`` with a
         validity mask (static shapes for the jitted predict step)."""

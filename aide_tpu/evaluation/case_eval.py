@@ -42,39 +42,46 @@ def infer_cases(
     keep_largest_cc: bool = True,
 ) -> List[Dict[int, np.ndarray]]:
     """Predicted volumes per case. Returns a list aligned with ``cases`` of
-    {net_index: (S, H, W) uint8} (net_index 0 for single nets)."""
-    # dispatch every batch first (async device execution), fetch afterwards —
-    # a synchronous fetch per batch would serialize on link latency
-    pending = []
-    for case in cases:
-        for batch, valid in pipe.case_batches(str(case), batch_size):
-            pending.append((case, valid, predict_step(state, batch)))
+    {net_index: (S, H, W) uint8} (net_index 0 for single nets).
+
+    All cases' slices are packed into one contiguous index stream and run as
+    fixed-size batches (one pad at the very end), then split back per case —
+    instead of one padded dispatch per case chunk. Batches are dispatched
+    before any fetch, so device execution overlaps the host loop.
+    """
+    case_ids = [str(c) for c in cases]
+    all_idx: List[int] = []
+    counts: List[int] = []
+    for case in case_ids:
+        idxs = pipe.case_indices(case)
+        all_idx.extend(idxs)
+        counts.append(len(idxs))
+
+    n = len(all_idx)
+    pad = (-n) % batch_size
+    padded = np.asarray(all_idx + [all_idx[-1]] * pad)
+
+    # dispatch every batch first (async), fetch afterwards
+    pending = [
+        predict_step(state, pipe.batch_at(padded[s : s + batch_size]))
+        for s in range(0, len(padded), batch_size)
+    ]
+    chunks = [
+        np.asarray(p) if dual else np.asarray(p)[None] for p in pending
+    ]  # each (n_nets, B, H, W)
+    preds = np.concatenate(chunks, axis=1)[:, :n]
 
     out = []
-    per_net: Dict[int, List[np.ndarray]] = {}
-    current = None
-
-    def flush():
+    offset = 0
+    for count in counts:
         vols = {}
-        for net, chunks in per_net.items():
-            vol = np.concatenate(chunks, axis=0).astype(np.uint8)
+        for net in range(preds.shape[0]):
+            vol = preds[net, offset : offset + count].astype(np.uint8)
             if keep_largest_cc:
                 vol = keep_largest_connected_components(vol)
             vols[net] = vol
         out.append(vols)
-        per_net.clear()
-
-    for case, valid, dev_pred in pending:
-        if current is not None and case != current:
-            flush()
-        current = case
-        pred = np.asarray(dev_pred)  # (2,B,H,W) or (B,H,W)
-        if not dual:
-            pred = pred[None]
-        for net in range(pred.shape[0]):
-            per_net.setdefault(net, []).append(pred[net][valid])
-    if current is not None:
-        flush()
+        offset += count
     return out
 
 
