@@ -13,6 +13,10 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# persistent compilation cache: repeat suite runs skip recompiles (the
+# 1-core host pays ~10-100 s per big XLA program otherwise)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/aide_jax_test_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -62,6 +62,7 @@ def setup(_setup_raw):
 
 
 class TestSupervised:
+    @pytest.mark.slow
     def test_step_updates_params(self, setup):
         cfg, model, tx, v1, _ = setup
         state = TrainState.create(v1, tx)
@@ -75,6 +76,7 @@ class TestSupervised:
         )
         assert max(jax.tree_util.tree_leaves(delta)) > 0
 
+    @pytest.mark.slow
     def test_loss_decreases_overfit(self, setup):
         cfg, model, tx, v1, _ = setup
         state = TrainState.create(v1, tx)
@@ -88,6 +90,7 @@ class TestSupervised:
         assert float(m["loss"]) < first
 
 
+@pytest.mark.slow
 class TestCoteach:
     def test_step_runs_and_is_deterministic(self, setup):
         cfg, model, tx, v1, v2 = setup

@@ -18,6 +18,7 @@ def _init_apply(model, *inputs):
 
 
 class TestUNet:
+    @pytest.mark.slow
     def test_shapes_and_dtype(self):
         model = UNet(num_classes=2, base_width=4, compute_dtype="float32")
         x = jnp.zeros((2, 32, 32, 3))
@@ -37,6 +38,7 @@ class TestUNet:
         c2, c4 = count(2), count(4)
         assert 3.0 < c4 / c2 < 4.5
 
+    @pytest.mark.slow
     def test_spatial_attention_variant(self):
         model = UNet(
             num_classes=2, base_width=16, spatial_attention=True,
@@ -51,6 +53,7 @@ class TestUNet:
         v = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)), train=False)
         assert "batch_stats" not in v
 
+    @pytest.mark.slow
     def test_bfloat16_compute_fp32_params(self):
         model = UNet(num_classes=2, base_width=4, compute_dtype="bfloat16")
         x = jnp.zeros((1, 16, 16, 3))
@@ -60,6 +63,7 @@ class TestUNet:
         out = model.apply(v, x, train=False)
         assert out.dtype == jnp.float32  # head casts logits back
 
+    @pytest.mark.slow
     def test_learned_bilinear(self):
         model = UNet(
             num_classes=2, base_width=4, learned_bilinear=True,
@@ -80,6 +84,7 @@ class TestFuseUNet:
         _, out, _ = _init_apply(model, a, b)
         assert out.shape == (1, 32, 32, 2)
 
+    @pytest.mark.slow
     def test_modal1_encoder_sees_fused_channels(self):
         """'plain' modal-1 level-2 block input is 2*w channels (fused);
         'sa_separate' keeps it at w (fuseunet.py:14 vs :219)."""
@@ -144,6 +149,7 @@ class TestCAUpBlocks:
         assert out.shape == (1, 16, 16, 4)
 
 
+@pytest.mark.slow
 class TestRemat:
     def test_remat_matches_no_remat(self):
         x = jnp.ones((1, 16, 16, 3)) * 0.3

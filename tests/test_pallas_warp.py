@@ -25,6 +25,7 @@ FLIPS = jnp.asarray([0.0, 1.0, 0.0, 1.0, 0.0, 1.0])
 
 
 @pytest.mark.parametrize("inverse", [False, True])
+@pytest.mark.slow
 def test_matches_xla_shear_exactly(inverse):
     imgs = _smooth()
     fill = jnp.asarray(

@@ -91,6 +91,7 @@ class TestCheckpointRoundtrip:
         assert all(np.array_equal(x, y) for x, y in zip(oa, ob))
         assert ckpt.read_meta(p)["epoch"] == 5
 
+    @pytest.mark.slow
     def test_net_export_and_warm_start(self, tmp_path):
         single = self._make_state(dual=False)
         p = str(tmp_path / "net.msgpack")
@@ -104,6 +105,7 @@ class TestCheckpointRoundtrip:
             assert np.array_equal(leaf_d[0], leaf_s)
             assert np.array_equal(leaf_d[1], leaf_s)
 
+    @pytest.mark.slow
     def test_warm_start_symmetry_noise_diverges_nets(self, tmp_path):
         single = self._make_state(dual=False)
         p = str(tmp_path / "net.msgpack")
