@@ -128,11 +128,14 @@ class Trainer:
             v1 = self.model.init(jax.random.key(cfg.seed), *dummy, train=False)
             self.state = TrainState.create(v1, tx)
             if cfg.resume_file:
-                restored = ckpt.load_net(cfg.resume_file, v1)
-                self.state = self.state.replace(
-                    params=restored["params"],
-                    batch_stats=restored.get("batch_stats", {}),
-                )
+                if cfg.resume_file.endswith("_full.msgpack"):
+                    self.state = ckpt.load_train_state(cfg.resume_file, self.state)
+                else:
+                    restored = ckpt.load_net(cfg.resume_file, v1)
+                    self.state = self.state.replace(
+                        params=restored["params"],
+                        batch_stats=restored.get("batch_stats", {}),
+                    )
             self.train_step = steps_mod.make_supervised_train_step(
                 self.model, self.two_modal, cfg
             )
@@ -150,6 +153,19 @@ class Trainer:
         self.ascending = not cfg.ascending_checkpoint_gate
         self.changepoint_dice = 0.0
         self.history: List[Dict] = []
+        self.start_epoch = 0
+        if cfg.resume_file and cfg.resume_file.endswith("_full.msgpack"):
+            # exact resume: recover the epoch clock, best/gate bookkeeping,
+            # and history alongside the params/BN/optimizer restored above.
+            # Working labels come back through the LabelStore's disk mirror
+            # (the tempmask folder is part of resumable state, matching
+            # datasetchaos_proposed/dataset.py:37-56).
+            meta = ckpt.read_meta(cfg.resume_file)
+            self.start_epoch = int(meta.get("next_epoch", 0))
+            self.best_dice = float(meta.get("best_dice", 0.0))
+            self.ascending = bool(meta.get("ascending", self.ascending))
+            self.changepoint_dice = float(meta.get("changepoint_dice", 0.0))
+            self.history = list(meta.get("history", []))
 
     # ------------------------------------------------------------------
 
@@ -247,6 +263,16 @@ class Trainer:
 
     # ---------------------------- checkpoint ----------------------------
 
+    def _bookkeeping_meta(self, next_epoch: int) -> Dict:
+        """Resume bookkeeping persisted in full-state checkpoint sidecars."""
+        return {
+            "next_epoch": int(next_epoch),
+            "best_dice": float(self.best_dice),
+            "ascending": bool(self.ascending),
+            "changepoint_dice": float(self.changepoint_dice),
+            "history": list(self.history),
+        }
+
     def _maybe_checkpoint(self, epoch: int, avg_dice: float, test_metrics) -> bool:
         cfg = self.cfg
         if cfg.ascending_checkpoint_gate and not self.ascending:
@@ -278,10 +304,13 @@ class Trainer:
                 self.state.variables(),
                 meta,
             )
+        # best-epoch full state: resuming it REPLAYS this epoch's refresh +
+        # history row (next_epoch = epoch, both happen after this save); the
+        # end-of-run `_last_full` file is the exact continuation artifact.
         ckpt.save_train_state(
             os.path.join(cfg.checkpoint_dir, f"{cfg.experiment_name}_full.msgpack"),
             self.state,
-            meta,
+            dict(meta, **self._bookkeeping_meta(epoch)),
         )
         # prostate trainers back up the best temp-mask folder
         # (trainprostate_proposed_isbi3ttransferisbidx.py:473-476)
@@ -387,9 +416,23 @@ class Trainer:
     def run(self, num_epochs: Optional[int] = None) -> List[Dict]:
         n = num_epochs or self.cfg.num_epochs
         self.logger.info("Start Training ({})".format(self.cfg.data.task))
-        for epoch in range(n):
+        if self.start_epoch:
+            self.logger.info("Resuming at epoch %d", self.start_epoch + 1)
+        for epoch in range(self.start_epoch, n):
             self.run_epoch(epoch)
         self._save_history()
+        # exact-continuation artifact: state as of the END of epoch n, with
+        # the epoch clock / best-gate / history bookkeeping in the sidecar.
+        # Resuming it reproduces `train(n+k)` exactly (working labels return
+        # through the tempmask disk mirror).
+        ckpt.save_train_state(
+            os.path.join(
+                self.cfg.checkpoint_dir,
+                f"{self.cfg.experiment_name}_last_full.msgpack",
+            ),
+            self.state,
+            self._bookkeeping_meta(n),
+        )
         return self.history
 
     def _save_history(self) -> None:

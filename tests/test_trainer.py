@@ -113,6 +113,40 @@ class TestResume:
         # symmetry-breaking noise
         assert all(np.allclose(l[0], l[1], atol=0.05) for l in leaves)
 
+    def test_exact_resume_equals_straight_run(self, tmp_path):
+        """train 4 epochs straight == train 2, resume, train 2: identical
+        history rows and final params (epoch clock, best/gate bookkeeping,
+        optimizer moments, and working labels all restored)."""
+        import jax
+
+        straight = make_trainer(tmp_path / "straight", num_epochs=4)
+        h_straight = straight.run(4)
+
+        part1 = make_trainer(tmp_path, num_epochs=4)
+        part1.run(2)
+        last = os.path.join(
+            part1.cfg.checkpoint_dir,
+            f"{part1.cfg.experiment_name}_last_full.msgpack",
+        )
+        assert os.path.exists(last)
+
+        part2 = make_trainer(tmp_path, num_epochs=4, resume_file=last)
+        assert part2.start_epoch == 2
+        assert len(part2.history) == 2
+        h_resumed = part2.run(4)
+
+        assert len(h_resumed) == 4
+        for a, b in zip(h_straight, h_resumed):
+            for k in a:
+                if k == "time":
+                    continue
+                assert np.isclose(a[k], b[k], rtol=0, atol=0), (k, a[k], b[k])
+        for la, lb in zip(
+            jax.tree_util.tree_leaves(straight.state.params),
+            jax.tree_util.tree_leaves(part2.state.params),
+        ):
+            assert np.array_equal(np.asarray(la), np.asarray(lb))
+
     def test_ascending_gate_defers_checkpoint(self, tmp_path):
         tr = make_trainer(
             tmp_path, variant="proposed", ascending_checkpoint_gate=True
