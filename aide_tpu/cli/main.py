@@ -50,6 +50,49 @@ def cmd_train(args) -> int:
     return 0
 
 
+def _load_checkpoint_variables(path: str, cfg: TrainConfig, template):
+    """Dispatch on checkpoint format: aide_tpu ``.msgpack`` or a reference
+    torch ``.pkl`` (imported torch-free via aide_tpu.interop)."""
+    from aide_tpu.engine import checkpoint as ckpt_mod
+
+    if not path.endswith(".pkl"):
+        return ckpt_mod.load_net(path, template)
+
+    import jax
+    import numpy as np
+
+    from aide_tpu.interop import import_reference_checkpoint
+
+    variables = import_reference_checkpoint(
+        path, cfg.model.name, cfg.model.learned_bilinear
+    )
+    # validate against the model's own init tree (catches width/norm/variant
+    # mismatches with a readable message instead of an apply-time error)
+    t_paths = {
+        jax.tree_util.keystr(k): v.shape
+        for k, v in jax.tree_util.tree_leaves_with_path(template)
+    }
+    i_paths = {
+        jax.tree_util.keystr(k): np.shape(v)
+        for k, v in jax.tree_util.tree_leaves_with_path(variables)
+    }
+    if t_paths != i_paths:
+        missing = sorted(set(t_paths) - set(i_paths))[:4]
+        extra = sorted(set(i_paths) - set(t_paths))[:4]
+        shapes = [
+            f"{k}: ckpt{i_paths[k]} != model{t_paths[k]}"
+            for k in sorted(set(t_paths) & set(i_paths))
+            if t_paths[k] != i_paths[k]
+        ][:4]
+        raise ValueError(
+            f"imported checkpoint does not fit model {cfg.model.name!r} "
+            f"(missing={missing}, extra={extra}, shape_mismatches={shapes})"
+        )
+    return jax.tree_util.tree_map(
+        lambda t, v: np.asarray(v, dtype=np.asarray(t).dtype), template, variables
+    )
+
+
 def cmd_eval(args) -> int:
     """Offline eval: load a checkpoint, run case-wise 3D inference, emit the
     reference's CSV/PNG artifacts (evalchaos_comparison_1cases.py:143-243)."""
@@ -94,7 +137,7 @@ def cmd_eval(args) -> int:
     if not args.checkpoint:
         print("error: --checkpoint is required for eval", file=sys.stderr)
         return 2
-    variables = ckpt_mod.load_net(args.checkpoint, variables)
+    variables = _load_checkpoint_variables(args.checkpoint, cfg, variables)
     state = TrainState.create(variables, make_optimizer(cfg.optim, 1, 1))
 
     predict = steps_mod.make_predict_step(model, task.two_modal, dual=False)
@@ -159,7 +202,7 @@ def cmd_predict(args) -> int:
     if not args.checkpoint:
         print("error: --checkpoint is required for predict", file=sys.stderr)
         return 2
-    variables = ckpt_mod.load_net(args.checkpoint, variables)
+    variables = _load_checkpoint_variables(args.checkpoint, cfg, variables)
     state = TrainState.create(variables, make_optimizer(cfg.optim, 1, 1))
     predict = steps_mod.make_predict_step(model, task.two_modal, dual=False)
 
@@ -211,13 +254,13 @@ def main(argv=None) -> int:
 
     p_eval = sub.add_parser("eval", help="offline case-wise evaluation")
     _add_common(p_eval)
-    p_eval.add_argument("--checkpoint", help="net checkpoint (.msgpack)")
+    p_eval.add_argument("--checkpoint", help="net checkpoint (.msgpack, or a reference torch .pkl)")
     p_eval.add_argument("--output", help="output directory")
     p_eval.set_defaults(fn=cmd_eval)
 
     p_pred = sub.add_parser("predict", help="label-free mask inference")
     _add_common(p_pred)
-    p_pred.add_argument("--checkpoint", help="net checkpoint (.msgpack)")
+    p_pred.add_argument("--checkpoint", help="net checkpoint (.msgpack, or a reference torch .pkl)")
     p_pred.add_argument("--output", help="output directory")
     p_pred.set_defaults(fn=cmd_predict)
 
