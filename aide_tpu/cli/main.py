@@ -46,7 +46,18 @@ def cmd_train(args) -> int:
 
     task = _maybe_synthetic_task(cfg)
     trainer = Trainer(cfg, task=task)
-    trainer.run(args.epochs or cfg.num_epochs)
+    epochs = args.epochs or cfg.num_epochs
+    if args.profile:
+        # TPU-first observability the reference lacks (SURVEY §5): trace the
+        # run into a TensorBoard/xprof artifact (use --epochs 1 for a
+        # readable trace of one full epoch)
+        import jax
+
+        with jax.profiler.trace(args.profile):
+            trainer.run(epochs)
+        print(json.dumps({"profile_dir": os.path.abspath(args.profile)}))
+    else:
+        trainer.run(epochs)
     return 0
 
 
@@ -236,6 +247,7 @@ def _maybe_synthetic_task(cfg: TrainConfig):
         root=cfg.data.root or "./synthetic_data",
         tempmask_folder=cfg.data.tempmask_folder or "tempmasks",
         noisy_fraction=0.5,
+        num_classes=cfg.model.num_classes,
         seed=cfg.seed,
     )
 
@@ -250,6 +262,11 @@ def main(argv=None) -> int:
     p_train = sub.add_parser("train", help="run a training config")
     _add_common(p_train)
     p_train.add_argument("--epochs", type=int, help="override epoch count")
+    p_train.add_argument(
+        "--profile", metavar="DIR",
+        help="wrap the run in jax.profiler.trace and write the xprof "
+             "artifact to DIR",
+    )
     p_train.set_defaults(fn=cmd_train)
 
     p_eval = sub.add_parser("eval", help="offline case-wise evaluation")

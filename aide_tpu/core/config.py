@@ -145,8 +145,9 @@ class EvalConfig:
     save_png: bool = True
     png_scale: int = 63               # foreground stored as fg*63 (":549")
     output_dir: str = "segmentation_results"
-    # slice batches are padded to multiples of this to bound recompilation
-    slice_bucket: int = 8
+    # (a former `slice_bucket` knob is gone: case eval packs every case's
+    # slices into one contiguous stream of eval_batch_size batches —
+    # evaluation/case_eval.py — so there is no per-case padding to bucket)
 
 
 @dataclass

@@ -35,6 +35,7 @@ class SyntheticTask(Task):
         noisy_fraction: float = 0.0,
         clean_cases: int = 0,
         noise_shift_divisor: int = 8,
+        num_classes: int = 2,
         seed: int = 0,
         **kw,
     ):
@@ -44,6 +45,10 @@ class SyntheticTask(Task):
         self.slices_per_case = slices_per_case
         self.size = size
         self.noisy_fraction = noisy_fraction
+        # num_classes > 2 draws one ellipse per foreground class (labels
+        # 1..C-1); the reference only trains binary heads, this exercises
+        # the engine's multi-class path (entropy weightmap, C-class losses)
+        self.num_classes = num_classes
         # the first `clean_cases` cases keep clean labels — the "labeled"
         # annotation budget (the reference regimes always anchor on some
         # clean supervision: the exempt labeled CHAOS case, the prostate
@@ -70,15 +75,27 @@ class SyntheticTask(Task):
         )
         s = self.size
         yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
-        cy = s * (0.35 + 0.3 * rng.random())
-        cx = s * (0.35 + 0.3 * rng.random())
-        ry = s * (0.10 + 0.15 * rng.random())
-        rx = s * (0.10 + 0.15 * rng.random())
-        mask = (((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0).astype(
-            np.uint8
-        )
+        if self.num_classes == 2:
+            cy = s * (0.35 + 0.3 * rng.random())
+            cx = s * (0.35 + 0.3 * rng.random())
+            ry = s * (0.10 + 0.15 * rng.random())
+            rx = s * (0.10 + 0.15 * rng.random())
+            mask = (((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0).astype(
+                np.uint8
+            )
+        else:
+            # one ellipse per foreground class; later classes overwrite
+            mask = np.zeros((s, s), np.uint8)
+            for c in range(1, self.num_classes):
+                cy = s * (0.2 + 0.6 * rng.random())
+                cx = s * (0.2 + 0.6 * rng.random())
+                ry = s * (0.08 + 0.10 * rng.random())
+                rx = s * (0.08 + 0.10 * rng.random())
+                ell = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0
+                mask[ell] = c
         base = 60 + 40 * rng.random()
-        img = base + 120.0 * mask + 20.0 * rng.normal(size=(s, s))
+        intensity = 120.0 / max(1, self.num_classes - 1)
+        img = base + intensity * mask + 20.0 * rng.normal(size=(s, s))
         img = np.clip(img, 0, 255).astype(np.float32)
         noisy = mask
         if case >= self.clean_cases and rng.random() < self.noisy_fraction:
@@ -138,11 +155,17 @@ class SyntheticTask(Task):
             f"slice{spec.extras['slice']:03d}_net{net}.png",
         )
 
+    def _png_scale(self) -> int:
+        # labels 0..C-1 stored spread over 0..255 (255 for binary — the
+        # historical format; 85 for C=4, etc.)
+        return 255 // (self.num_classes - 1)
+
     def read_tempmask(self, spec: SliceSpec, net: int) -> Optional[np.ndarray]:
         path = self.tempmask_path(spec, net)
         if not os.path.exists(path):
             return None
-        return (png.read_mask(path) > 0).astype(np.uint8)
+        arr = png.read_mask(path).astype(np.float32)
+        return np.round(arr / self._png_scale()).astype(np.uint8)
 
     def write_case_tempmask(
         self, specs: Sequence[SliceSpec], volume: np.ndarray, net: int
@@ -150,4 +173,4 @@ class SyntheticTask(Task):
         for spec, sl in zip(specs, volume):
             path = self.tempmask_path(spec, net)
             self._ensure_dir(path)
-            png.write_mask(path, sl, scale=255)
+            png.write_mask(path, sl, scale=self._png_scale())

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import optax
 
 from aide_tpu.core.config import TrainConfig
-from aide_tpu.ops import losses, metrics, tta
+from aide_tpu.ops import losses, metrics, tta, warp
 from aide_tpu.engine.state import DualTrainState, TrainState
 
 
@@ -119,6 +119,44 @@ def make_image_criterion(cfg: TrainConfig):
     )
 
 
+# ----------------------------- main-view augmentation -----------------------------
+
+
+def make_augment_batch(cfg: TrainConfig, two_modal: bool):
+    """Random on-device warp of the MAIN training view (images + every
+    target present in the batch), enabled by ``data.augment_main``.
+
+    Off by default: the reference augments only the TTA copies — the main
+    image gets resize+normalize only
+    (trainchaos_proposed_30cases1labeled.py:191-197). Masks are warped as
+    one-hot maps with zero fill and argmax'd back (out-of-extent pixels
+    resolve to background), so images and labels move together."""
+    num_classes = cfg.model.num_classes
+
+    @jax.jit
+    def augment(batch, key):
+        images = batch_images(batch, two_modal)
+        fills = batch_fills(batch, two_modal)
+        b = images[0].shape[0]
+        degrees, hflip = tta.sample_view_params(
+            key, 1, b, cfg.data.rotation_degree, cfg.data.hflip_prob
+        )
+        deg, fl = degrees[0], hflip[0]
+        out = dict(batch)
+        names = ("modal1", "modal2") if two_modal else ("image",)
+        for name, img, fill in zip(names, images, fills):
+            out[name] = warp.augment(img, deg, fl, fill)
+        for tname in ("target", "target1", "target2"):
+            if tname in batch:
+                t = batch[tname]
+                onehot = jax.nn.one_hot(t, num_classes, dtype=jnp.float32)
+                warped = warp.augment(onehot, deg, fl, 0.0)
+                out[tname] = jnp.argmax(warped, axis=-1).astype(t.dtype)
+        return out
+
+    return augment
+
+
 # ----------------------------- supervised -----------------------------
 
 
@@ -127,6 +165,7 @@ def make_supervised_train_step(model, two_modal: bool, cfg: TrainConfig):
     (e.g. trainchaos_comparison_1case.py:190-202)."""
     forward = make_forward(model, two_modal)
     criterion = make_criterion(cfg)
+    thr = cfg.eval.threshold
 
     # donate the state: params/opt buffers update in place on device
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -144,7 +183,7 @@ def make_supervised_train_step(model, two_modal: bool, cfg: TrainConfig):
         new_state = state.apply_gradients(grads).replace(batch_stats=new_stats)
         out_metrics = {
             "loss": loss,
-            "dice_sum": metrics.dice_fn(logits, target),
+            "dice_sum": metrics.dice_fn(logits, target, threshold=thr),
             "count": jnp.asarray(target.shape[0], jnp.float32),
         }
         return new_state, out_metrics
@@ -160,6 +199,7 @@ def make_coteach_train_step(model, two_modal: bool, cfg: TrainConfig):
     image_criterion = make_image_criterion(cfg)
     ct = cfg.coteach
     num_views = cfg.data.num_tta_views
+    thr = cfg.eval.threshold
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: DualTrainState, batch, key, rate):
@@ -239,8 +279,8 @@ def make_coteach_train_step(model, two_modal: bool, cfg: TrainConfig):
                 "new_stats": new_stats,
                 "loss1": loss1,
                 "loss2": loss2,
-                "dice1_sum": metrics.dice_fn(out1, t2),
-                "dice2_sum": metrics.dice_fn(out2, t1),
+                "dice1_sum": metrics.dice_fn(out1, t2, threshold=thr),
+                "dice2_sum": metrics.dice_fn(out2, t1, threshold=thr),
             }
             return total, aux
 
@@ -269,6 +309,7 @@ def make_eval_step(model, two_modal: bool, cfg: TrainConfig, dual: bool):
     other's working labels, matching :360-366)."""
     forward = make_forward(model, two_modal)
     image_criterion = make_image_criterion(cfg)
+    thr = cfg.eval.threshold
 
     if dual:
 
@@ -286,8 +327,8 @@ def make_eval_step(model, two_modal: bool, cfg: TrainConfig, dual: bool):
             return {
                 "loss1": jnp.mean(image_criterion(out1, t2)),
                 "loss2": jnp.mean(image_criterion(out2, t1)),
-                "dice1_sum": metrics.dice_fn(out1, t2),
-                "dice2_sum": metrics.dice_fn(out2, t1),
+                "dice1_sum": metrics.dice_fn(out1, t2, threshold=thr),
+                "dice2_sum": metrics.dice_fn(out2, t1, threshold=thr),
                 "count": jnp.asarray(t1.shape[0], jnp.float32),
             }
 
@@ -301,7 +342,7 @@ def make_eval_step(model, two_modal: bool, cfg: TrainConfig, dual: bool):
             logits, _ = forward(state.params, state.batch_stats, images, False, False)
             return {
                 "loss": criterion(logits, target),
-                "dice_sum": metrics.dice_fn(logits, target),
+                "dice_sum": metrics.dice_fn(logits, target, threshold=thr),
                 "count": jnp.asarray(target.shape[0], jnp.float32),
             }
 

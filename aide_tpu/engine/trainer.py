@@ -143,6 +143,11 @@ class Trainer:
         self.eval_step = steps_mod.make_eval_step(
             self.model, self.two_modal, cfg, dual=self.dual
         )
+        self.augment_batch = (
+            steps_mod.make_augment_batch(cfg, self.two_modal)
+            if cfg.data.augment_main
+            else None
+        )
         self.predict_step = steps_mod.make_predict_step(
             self.model, self.two_modal, dual=self.dual
         )
@@ -203,19 +208,36 @@ class Trainer:
     def _train_epoch(self, epoch: int, rate: float) -> Dict[str, float]:
         cfg = self.cfg
         ekey = prng.epoch_key(self.root_key, epoch)
-        shuffle_rng = np.random.default_rng(cfg.seed * 100003 + epoch)
+        shuffle_rng = np.random.default_rng(
+            cfg.seed * 100003 + cfg.data.shuffle_seed * 1009 + epoch
+        )
         totals = None
         rate_arr = jnp.asarray(rate, jnp.float32)
         for i, batch in enumerate(
             self.train_pipe.batches(cfg.data.batch_size, rng=shuffle_rng)
         ):
             batch = self._shard(batch)
+            if self.augment_batch is not None:
+                # distinct key stream from the TTA views of the same step
+                akey = prng.step_key(ekey, 1_000_000 + i)
+                batch = self.augment_batch(batch, akey)
             if self.dual:
                 skey = prng.step_key(ekey, i)
                 self.state, m = self.train_step(self.state, batch, skey, rate_arr)
             else:
                 self.state, m = self.train_step(self.state, batch)
             totals = self._accumulate(totals, m)
+            if cfg.log_every_steps and (i + 1) % cfg.log_every_steps == 0:
+                # opt-in mid-epoch visibility (the reference's tqdm bar);
+                # each line costs one device->host sync
+                vals = " ".join(
+                    "%s: %.3f" % (k, float(v))
+                    for k, v in sorted(m.items())
+                    if k.startswith("loss")
+                )
+                self.logger.info(
+                    "epoch %d step %d | %s", epoch + 1, i + 1, vals
+                )
         return self._finalize(totals)
 
     def _test_epoch(self) -> Dict[str, float]:

@@ -7,8 +7,8 @@ sorts, so every variant jit-compiles without dynamic shapes.
 
 These are library losses — the shipped reference trainers never import them
 (they are exported in utils/__init__.py:8-9 but unused; the flagship trainer
-builds its exchange inline, which here lives in engine/coteach.py). They are
-provided for capability parity.
+builds its exchange inline, which here lives in engine/steps.py
+``make_coteach_train_step``). They are provided for capability parity.
 
 All logits are NHWC (B, H, W, C); targets are (B, H, W) integer/binary maps.
 """

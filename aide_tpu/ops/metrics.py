@@ -27,8 +27,19 @@ import jax.numpy as jnp
 
 
 def _binarize_fg(logits: jnp.ndarray, threshold: float = 0.5) -> jnp.ndarray:
+    """Foreground mask from logits. Binary heads follow the reference
+    (softmax fg prob >= threshold, metrics2d.py:11-12); for C > 2 heads
+    foreground is argmax > 0 (any non-background class) — the reference
+    only ships binary heads, so this is our convention, documented."""
+    if logits.shape[-1] > 2:
+        return (jnp.argmax(logits, axis=-1) > 0).astype(jnp.float32)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[..., 1]
     return (probs >= threshold).astype(jnp.float32)
+
+
+def _binarize_target(targets: jnp.ndarray) -> jnp.ndarray:
+    """Label map -> foreground mask (identity on binary {0,1} labels)."""
+    return (targets > 0).astype(jnp.float32)
 
 
 def dice_fn(logits: jnp.ndarray, targets: jnp.ndarray, threshold: float = 0.5) -> jnp.ndarray:
@@ -36,7 +47,7 @@ def dice_fn(logits: jnp.ndarray, targets: jnp.ndarray, threshold: float = 0.5) -
     pred = _binarize_fg(logits, threshold)
     n = pred.shape[0]
     iflat = pred.reshape(n, -1)
-    tflat = targets.reshape(n, -1).astype(jnp.float32)
+    tflat = _binarize_target(targets).reshape(n, -1)
     inter = jnp.sum(iflat * tflat, axis=1)
     isum = jnp.sum(iflat, axis=1)
     tsum = jnp.sum(tflat, axis=1)
@@ -54,7 +65,7 @@ def dice_fn_nozero(logits: jnp.ndarray, targets: jnp.ndarray, threshold: float =
     pred = _binarize_fg(logits, threshold)
     n = pred.shape[0]
     iflat = pred.reshape(n, -1)
-    tflat = targets.reshape(n, -1).astype(jnp.float32)
+    tflat = _binarize_target(targets).reshape(n, -1)
     inter = jnp.sum(iflat * tflat, axis=1)
     isum = jnp.sum(iflat, axis=1)
     tsum = jnp.sum(tflat, axis=1)
@@ -72,7 +83,7 @@ def iou_fn(logits: jnp.ndarray, targets: jnp.ndarray, threshold: float = 0.5) ->
     pred = _binarize_fg(logits, threshold)
     n = pred.shape[0]
     iflat = pred.reshape(n, -1)
-    tflat = targets.reshape(n, -1).astype(jnp.float32)
+    tflat = _binarize_target(targets).reshape(n, -1)
     inter = jnp.sum(iflat * tflat, axis=1)
     union = jnp.sum(iflat, axis=1) + jnp.sum(tflat, axis=1) - inter
     return jnp.sum(inter / jnp.maximum(union, 1e-12))
@@ -82,7 +93,7 @@ def tp_tn_fp_fn(logits: jnp.ndarray, targets: jnp.ndarray, threshold: float = 0.
     """Confusion-matrix counts accumulated over the batch (fixes the
     overwrite bug at metrics2d.py:54-70)."""
     pred = _binarize_fg(logits, threshold)
-    t = targets.astype(jnp.float32)
+    t = _binarize_target(targets)
     tp = jnp.sum(pred * t)
     tn = jnp.sum((1 - pred) * (1 - t))
     fp = jnp.sum(pred * (1 - t))
@@ -157,8 +168,8 @@ def dice3d(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     """Volume Dice 2I/(|P|+|T|) (Dice3d_fn,
     trainchaos_proposed_30cases1labeled.py:123-130) with the union-0 guard
     from trainprostate_proposed_isbi3ttransferisbidx.py:113-126 (=> 1.0)."""
-    p = pred.reshape(-1).astype(jnp.float32)
-    t = target.reshape(-1).astype(jnp.float32)
+    p = (pred.reshape(-1) > 0).astype(jnp.float32)
+    t = (target.reshape(-1) > 0).astype(jnp.float32)
     inter = 2.0 * jnp.sum(p * t)
     union = jnp.sum(p) + jnp.sum(t)
     return jnp.where(union == 0, 1.0, inter / jnp.maximum(union, 1e-12))
@@ -166,8 +177,8 @@ def dice3d(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 
 def iou3d(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     """Volume IoU (IoU3d_fn, evalchaos_comparison_1cases.py:125-133)."""
-    p = pred.reshape(-1).astype(jnp.float32)
-    t = target.reshape(-1).astype(jnp.float32)
+    p = (pred.reshape(-1) > 0).astype(jnp.float32)
+    t = (target.reshape(-1) > 0).astype(jnp.float32)
     inter = jnp.sum(p * t)
     union = jnp.sum(p) + jnp.sum(t) - inter
     return jnp.where(union == 0, 1.0, inter / jnp.maximum(union, 1e-12))
@@ -176,8 +187,8 @@ def iou3d(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 def tp_tn_fp_fn_3d(pred: jnp.ndarray, target: jnp.ndarray):
     """Volume confusion counts (TP_TN_FP_FN3d,
     evalchaos_comparison_1cases.py:135-141)."""
-    p = pred.reshape(-1).astype(jnp.float32)
-    t = target.reshape(-1).astype(jnp.float32)
+    p = (pred.reshape(-1) > 0).astype(jnp.float32)
+    t = (target.reshape(-1) > 0).astype(jnp.float32)
     tp = jnp.sum(p * t)
     tn = jnp.sum((1 - p) * (1 - t))
     fp = jnp.sum(p * (1 - t))
