@@ -352,7 +352,11 @@ def make_eval_step(model, two_modal: bool, cfg: TrainConfig, dual: bool):
 def make_predict_step(model, two_modal: bool, dual: bool):
     """Batched slice inference: softmax-argmax label maps
     (the bs=1 loops at :403-415 / evalchaos_comparison_1cases.py:213-228,
-    batched here). Returns (2, B, H, W) for dual or (B, H, W) labels."""
+    batched here). Returns (2, B, H, W) for dual or (B, H, W) labels.
+
+    Labels come back as uint8: the case-eval passes fetch every predicted
+    slice to the host, and on a tunneled chip the device->host transfer is
+    the bottleneck — int32 would move 4x the bytes for the same labels."""
     forward = make_forward(model, two_modal)
 
     if dual:
@@ -366,7 +370,7 @@ def make_predict_step(model, two_modal: bool, dual: bool):
                 return out
 
             outputs = jax.vmap(fwd)(state.params, state.batch_stats)
-            return jnp.argmax(outputs, axis=-1).astype(jnp.int32)
+            return jnp.argmax(outputs, axis=-1).astype(jnp.uint8)
 
     else:
 
@@ -374,6 +378,6 @@ def make_predict_step(model, two_modal: bool, dual: bool):
         def step(state: TrainState, batch):
             images = batch_images(batch, two_modal)
             logits, _ = forward(state.params, state.batch_stats, images, False, False)
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
 
     return step

@@ -313,6 +313,11 @@ class Trainer:
             "traincase_dice": avg_dice,
             **{k: float(v) for k, v in test_metrics.items()},
         }
+        if not self.dual:
+            # the reference's comparison trainers embed the epoch-metric
+            # history inside the checkpoint itself
+            # (trainchaos_comparison_1case.py:127-128,206-230)
+            meta["history"] = list(self.history)
         if self.dual:
             ckpt.save_dual_nets(
                 cfg.checkpoint_dir, cfg.experiment_name, self.state, meta

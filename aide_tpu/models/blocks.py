@@ -94,6 +94,17 @@ def max_pool_2x2(x):
     return nn.max_pool(x, (2, 2), strides=(2, 2))
 
 
+def upsample2x_bilinear(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, 2H, 2W, C), bilinear with half-pixel centers.
+
+    Kept as jax.image.resize: a hand-written interleave stencil
+    (shift + stack + reshape) was measured SLOWER on TPU v5e (fwd 14.0 ->
+    15.4 ms at bs8/256px) — the reshape interleave emits worse data
+    formatting than the two dot_generals XLA uses for resize."""
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="bilinear")
+
+
 class DownBlock(nn.Module):
     """Optional 2x2 maxpool then ConvBlock (UNet_basic_down_block,
     UNet.py:110-121)."""
@@ -143,7 +154,7 @@ class UpsampleConv(nn.Module):
                 param_dtype=jnp.float32,
             )(x)
         else:
-            x = jax.image.resize(x, (b, 2 * h, 2 * w, c), method="bilinear")
+            x = upsample2x_bilinear(x)
             x = nn.Conv(
                 self.features,
                 (3, 3),

@@ -55,9 +55,14 @@ def cross_entropy_2d(
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     valid = (targets != ignore_index).astype(logp.dtype)
     safe_t = jnp.where(targets == ignore_index, 0, targets)
-    nll = -jnp.take_along_axis(logp, safe_t[..., None], axis=-1)[..., 0]
+    # one-hot contraction instead of take_along_axis: per-pixel gathers are
+    # HBM-crawl on TPU (~5 GB/s measured); the one-hot multiply-sum fuses
+    # into a single elementwise kernel in both forward and backward
+    onehot = jax.nn.one_hot(safe_t, logp.shape[-1], dtype=logp.dtype)
+    nll = -jnp.sum(logp * onehot, axis=-1)
     if class_weight is not None:
-        w = jnp.asarray(class_weight, dtype=nll.dtype)[safe_t]
+        cw = jnp.asarray(class_weight, dtype=nll.dtype)
+        w = jnp.sum(onehot * cw, axis=-1)
     else:
         w = jnp.ones_like(nll)
     w = w * valid

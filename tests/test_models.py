@@ -188,3 +188,19 @@ class TestRemat:
         la = jax.tree_util.tree_leaves(ga)
         lb = jax.tree_util.tree_leaves(gb)
         assert all(np.allclose(p, q, atol=1e-5) for p, q in zip(la, lb))
+
+
+class TestUpsample2x:
+    def test_matches_jax_image_resize(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from aide_tpu.models.blocks import upsample2x_bilinear
+
+        for shape in [(2, 8, 8, 3), (1, 16, 5, 7), (3, 1, 4, 2)]:
+            x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+            ref = jax.image.resize(
+                x, (shape[0], 2 * shape[1], 2 * shape[2], shape[3]), "bilinear"
+            )
+            got = upsample2x_bilinear(x)
+            assert float(jnp.abs(ref - got).max()) < 1e-5
