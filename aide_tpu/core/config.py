@@ -174,6 +174,12 @@ class TrainConfig:
     seed: int = 2                     # --torch_seed default
     repetition: int = 200             # experiment id suffix
     checkpoint_dir: str = "checkpoints"
+    # 'end' (default): best-epoch state is snapshotted ON DEVICE and all
+    # checkpoint files are written once at the end of the run — on a
+    # tunneled/remote chip a per-epoch device->host fetch of the full state
+    # costs minutes. 'best' writes files immediately at every best epoch
+    # (the reference's behavior, trainchaos_proposed...py:500-526).
+    checkpoint_flush: str = "end"
     history_dir: str = "history"
     resume_file: str = ""             # warm start (trainkidney_proposed_mask1.py:51)
     log_every_steps: int = 50

@@ -69,9 +69,25 @@ def make_forward(model, two_modal: bool):
 
 
 def batch_images(batch: Dict[str, Any], two_modal: bool) -> Tuple:
-    if two_modal:
-        return (batch["modal1"], batch["modal2"])
-    return (batch["image"],)
+    """Batch images, normalized on device when shipped as uint8.
+
+    The pipeline sends raw uint8 pixels plus per-image affine coefficients
+    (normalized = u8 * scale + fill, data/pipeline.py) — 4x less
+    host->device traffic than pre-normalized float32. Float inputs (tests,
+    already-augmented batches) pass through unchanged; the dtype dispatch
+    is trace-time static."""
+    names = ("modal1", "modal2") if two_modal else ("image",)
+    suffixes = ("1", "2") if two_modal else ("",)
+    out = []
+    for name, suf in zip(names, suffixes):
+        img = batch[name]
+        if img.dtype == jnp.uint8:
+            img = (
+                img.astype(jnp.float32) * batch[f"scale{suf}"][:, None, None, :]
+                + batch[f"fill{suf}"][:, None, None, :]
+            )
+        out.append(img)
+    return tuple(out)
 
 
 def batch_fills(batch: Dict[str, Any], two_modal: bool) -> Tuple:
@@ -354,10 +370,17 @@ def make_predict_step(model, two_modal: bool, dual: bool):
     (the bs=1 loops at :403-415 / evalchaos_comparison_1cases.py:213-228,
     batched here). Returns (2, B, H, W) for dual or (B, H, W) labels.
 
-    Labels come back as uint8: the case-eval passes fetch every predicted
-    slice to the host, and on a tunneled chip the device->host transfer is
-    the bottleneck — int32 would move 4x the bytes for the same labels."""
+    Labels come back as uint8, and BINARY label maps are bit-packed along
+    the width axis (jnp.packbits, 8 pixels/byte): the case-eval passes
+    fetch every predicted slice to the host, and on a tunneled chip the
+    device->host transfer is the bottleneck. evaluation.case_eval
+    transparently unpacks (packed width != height on square slices)."""
     forward = make_forward(model, two_modal)
+
+    def _encode(labels):
+        if labels.shape[-1] % 8 == 0:
+            return jnp.packbits(labels.astype(jnp.uint8), axis=-1)
+        return labels.astype(jnp.uint8)
 
     if dual:
 
@@ -370,7 +393,10 @@ def make_predict_step(model, two_modal: bool, dual: bool):
                 return out
 
             outputs = jax.vmap(fwd)(state.params, state.batch_stats)
-            return jnp.argmax(outputs, axis=-1).astype(jnp.uint8)
+            labels = jnp.argmax(outputs, axis=-1)
+            if outputs.shape[-1] == 2:
+                return _encode(labels)
+            return labels.astype(jnp.uint8)
 
     else:
 
@@ -378,6 +404,9 @@ def make_predict_step(model, two_modal: bool, dual: bool):
         def step(state: TrainState, batch):
             images = batch_images(batch, two_modal)
             logits, _ = forward(state.params, state.batch_stats, images, False, False)
-            return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+            labels = jnp.argmax(logits, axis=-1)
+            if logits.shape[-1] == 2:
+                return _encode(labels)
+            return labels.astype(jnp.uint8)
 
     return step

@@ -154,6 +154,13 @@ class Trainer:
 
         self.root_key = prng.root_key(cfg.seed)
         self.best_dice = 0.0
+        # device-side snapshot of the best-epoch state (checkpoint_flush
+        # == 'end'): one fused copy program, no host transfer until the end
+        self._snapshot_fn = jax.jit(
+            lambda t: jax.tree_util.tree_map(jnp.copy, t)
+        )
+        self._best_snapshot = None
+        self._best_meta = None
         # kidney-style changepoint gate state
         self.ascending = not cfg.ascending_checkpoint_gate
         self.changepoint_dice = 0.0
@@ -318,27 +325,21 @@ class Trainer:
             # history inside the checkpoint itself
             # (trainchaos_comparison_1case.py:127-128,206-230)
             meta["history"] = list(self.history)
-        if self.dual:
-            ckpt.save_dual_nets(
-                cfg.checkpoint_dir, cfg.experiment_name, self.state, meta
+        # best-epoch artifacts (per-net exports + full state). The full
+        # state REPLAYS this epoch's refresh + history row on resume
+        # (next_epoch = epoch, both happen after this save); the end-of-run
+        # `_last_full` file is the exact continuation artifact.
+        full_meta = dict(meta, **self._bookkeeping_meta(epoch))
+        if cfg.checkpoint_flush == "best":
+            # reference-style: write files immediately (one batched fetch)
+            ckpt.save_best_bundle(
+                cfg.checkpoint_dir, cfg.experiment_name,
+                ckpt.state_tree(self.state), meta, full_meta, dual=self.dual,
             )
         else:
-            ckpt.save_net(
-                os.path.join(
-                    cfg.checkpoint_dir,
-                    f"{cfg.experiment_name}_besttraincasedice.msgpack",
-                ),
-                self.state.variables(),
-                meta,
-            )
-        # best-epoch full state: resuming it REPLAYS this epoch's refresh +
-        # history row (next_epoch = epoch, both happen after this save); the
-        # end-of-run `_last_full` file is the exact continuation artifact.
-        ckpt.save_train_state(
-            os.path.join(cfg.checkpoint_dir, f"{cfg.experiment_name}_full.msgpack"),
-            self.state,
-            dict(meta, **self._bookkeeping_meta(epoch)),
-        )
+            # snapshot on device; flush_checkpoints() writes the files
+            self._best_snapshot = self._snapshot_fn(ckpt.state_tree(self.state))
+            self._best_meta = (meta, full_meta)
         # prostate trainers back up the best temp-mask folder
         # (trainprostate_proposed_isbi3ttransferisbidx.py:473-476)
         if self.dual and cfg.data.tempmask_folder:
@@ -347,15 +348,30 @@ class Trainer:
                 shutil.copytree(src, src.rstrip("/") + "_best", dirs_exist_ok=True)
         return True
 
+    def flush_checkpoints(self) -> None:
+        """Write the device-side best-epoch snapshot to disk (no-op when
+        checkpoint_flush == 'best' — files were written immediately — or
+        when no best epoch happened yet)."""
+        if self._best_snapshot is None:
+            return
+        meta, full_meta = self._best_meta
+        ckpt.save_best_bundle(
+            self.cfg.checkpoint_dir, self.cfg.experiment_name,
+            self._best_snapshot, meta, full_meta, dual=self.dual,
+        )
+
     # ------------------------------- run -------------------------------
 
     def run_epoch(self, epoch: int) -> Dict[str, float]:
         cfg = self.cfg
         ts = time.time()
         rate = rate_schedule(epoch, cfg.coteach.warmup_epochs) if self.dual else 0.0
+        phases: Dict[str, float] = {}
 
         train_m = self._train_epoch(epoch, rate)
+        phases["time_train"] = time.time() - ts
         test_m = self._test_epoch()
+        phases["time_test"] = time.time() - ts - sum(phases.values())
 
         testcase = evaluate_cases(
             self.predict_step, self.state, self.test_pipe, self.test_cases,
@@ -369,6 +385,7 @@ class Trainer:
             keep_largest_cc=cfg.eval.keep_largest_cc,
             keep_volumes=self.dual,
         )
+        phases["time_cases"] = time.time() - ts - sum(phases.values())
 
         case_means = {
             f"traincase_dice{n + 1}": float(
@@ -392,8 +409,10 @@ class Trainer:
             avg_dice = case_means["traincase_dice1"]
 
         self._maybe_checkpoint(epoch, avg_dice, test_m)
+        phases["time_ckpt"] = time.time() - ts - sum(phases.values())
         if self.dual and self._is_refresh_epoch(epoch):
             self._refresh_labels(epoch, traincase)
+        phases["time_refresh"] = time.time() - ts - sum(phases.values())
 
         dt = time.time() - ts
         row = {
@@ -401,6 +420,7 @@ class Trainer:
             **{f"train_{k}": v for k, v in train_m.items()},
             **{f"test_{k}": v for k, v in test_m.items()},
             **case_means,
+            **{k: round(v, 2) for k, v in phases.items()},
             "time": dt,
         }
         self.history.append(row)
@@ -448,6 +468,7 @@ class Trainer:
         for epoch in range(self.start_epoch, n):
             self.run_epoch(epoch)
         self._save_history()
+        self.flush_checkpoints()
         # exact-continuation artifact: state as of the END of epoch n, with
         # the epoch clock / best-gate / history bookkeeping in the sidecar.
         # Resuming it reproduces `train(n+k)` exactly (working labels return

@@ -17,7 +17,41 @@ import numpy as np
 
 from aide_tpu.data.pipeline import SlicePipeline
 from aide_tpu.ops.cc import keep_largest_connected_components
-from aide_tpu.ops import metrics as M
+
+
+# Host-side NumPy versions of the 3D metrics (same conventions as
+# ops/metrics.py dice3d/iou3d/tp_tn_fp_fn_3d: foreground > 0, union-0 => 1).
+# The jnp versions would dispatch a tiny device program per case — on a
+# tunneled chip that is a network round trip per metric per case.
+
+
+def _dice3d_np(pred: np.ndarray, target: np.ndarray) -> float:
+    p = pred.reshape(-1) > 0
+    t = target.reshape(-1) > 0
+    union = float(p.sum()) + float(t.sum())
+    if union == 0:
+        return 1.0
+    return 2.0 * float(np.sum(p & t)) / union
+
+
+def _iou3d_np(pred: np.ndarray, target: np.ndarray) -> float:
+    p = pred.reshape(-1) > 0
+    t = target.reshape(-1) > 0
+    inter = float(np.sum(p & t))
+    union = float(p.sum()) + float(t.sum()) - inter
+    if union == 0:
+        return 1.0
+    return inter / union
+
+
+def _tp_tn_fp_fn_3d_np(pred: np.ndarray, target: np.ndarray):
+    p = pred.reshape(-1) > 0
+    t = target.reshape(-1) > 0
+    tp = float(np.sum(p & t))
+    tn = float(np.sum(~p & ~t))
+    fp = float(np.sum(p & ~t))
+    fn = float(np.sum(~p & t))
+    return tp, tn, fp, fn
 
 
 @dataclass
@@ -68,8 +102,12 @@ def infer_cases(
     ]
     chunks = [
         np.asarray(p) if dual else np.asarray(p)[None] for p in pending
-    ]  # each (n_nets, B, H, W)
+    ]  # each (n_nets, B, H, W) — or (n_nets, B, H, W/8) bit-packed
     preds = np.concatenate(chunks, axis=1)[:, :n]
+    if preds.shape[-1] * 8 == pipe.img_size:
+        # binary labels arrive bit-packed along width (engine/steps.py
+        # make_predict_step: 8x smaller device->host fetch); unpack on host
+        preds = np.unpackbits(preds, axis=-1, count=pipe.img_size)
 
     out = []
     offset = 0
@@ -118,12 +156,11 @@ def evaluate_cases(
                 target = pipe.case_targets(str(case), net=net + 1)
             else:
                 target = pipe.case_targets(str(case), net=target_net)
-            dice = float(M.dice3d(pred, target))
+            dice = _dice3d_np(pred, target)
             r = CaseResult(case_id=str(case), dice=dice)
             if full_metrics:
-                r.iou = float(M.iou3d(pred, target))
-                tp, tn, fp, fn = M.tp_tn_fp_fn_3d(pred, target)
-                r.tp, r.tn, r.fp, r.fn = float(tp), float(tn), float(fp), float(fn)
+                r.iou = _iou3d_np(pred, target)
+                r.tp, r.tn, r.fp, r.fn = _tp_tn_fp_fn_3d_np(pred, target)
             if keep_volumes:
                 r.pred_volume = pred
             per_case.append(r)

@@ -1,21 +1,38 @@
-"""Benchmark: CHAOS co-teaching epoch time on TPU vs the reference baseline.
+"""Benchmark: FULL CHAOS co-teaching epoch time on TPU vs the reference.
 
 The reference reports ~420 s/epoch for the flagship CHAOS proposed config —
-dual FuseUNet co-teaching, 984 training slices, batch 4, 4 TTA views, 256x256
-(/root/reference/README.md:45; SURVEY §6). This benchmark times OUR complete
-jitted co-teaching train step (TTA view warps + 8 net-view forwards + pseudo
-label ensemble + cross small-loss selection + consistency + both backwards +
-optimizer) at the same operating point on the real chip and converts to an
-epoch-time-equivalent over 984 slices.
+dual FuseUNet co-teaching, 984 training slices, batch 4, 4 TTA views,
+256x256 (/root/reference/README.md:45; SURVEY §6) — and that 420 s includes
+everything its epoch loop does (trainchaos_proposed_30cases1labeled.py:
+245-590): train steps, test-batch eval, per-case 3D test eval, per-case
+train re-inference for BOTH nets, checkpointing, and the label refresh.
+
+This benchmark runs OUR engine's complete `Trainer.run_epoch` at the same
+operating point (30 train cases / 984 slices, 10 test cases / 300 slices,
+256x256 two-modal, 4 TTA views) on a size-matched synthetic dataset and
+reports the honest wall-clock per epoch. The jitted-train-step-only number
+(what bench reported in round 1) and the step throughput in TFLOP/s / MFU
+are secondary fields.
+
+Every jitted program is compiled exactly once (remote compiles on the
+tunneled chip cost minutes and the persistent cache does not cover them):
+the warmup epoch compiles everything, the FLOPs query reuses the in-process
+executable, and the step-only timing reuses the trainer's own train step.
 
 Prints ONE JSON line:
   {"metric": "chaos_coteach_epoch_seconds", "value": <s>, "unit": "s/epoch",
-   "vs_baseline": <420 / value>}
+   "vs_baseline": <420 / value>, ...}
+
+Usage: python bench.py [--batch N] [--steps-only] [--profile DIR]
 """
 
+import argparse
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
@@ -23,73 +40,156 @@ import numpy as np
 
 EPOCH_SLICES = 984      # CHAOS proposed train set (README.md:45)
 BASELINE_EPOCH_S = 420.0
+# bf16 peak of one v5e chip (MXU); MFU is measured against this
+PEAK_TFLOPS = 197.0
 
 
-def main() -> int:
+def log(msg):
+    print(f"# {msg}", file=sys.stderr, flush=True)
+
+
+def make_config(batch: int):
     from aide_tpu.core.config import ModelConfig, TrainConfig
-    from aide_tpu.engine import steps as steps_mod
-    from aide_tpu.engine.state import DualTrainState
-    from aide_tpu.models import build_model
-    from aide_tpu.ops.schedules import make_optimizer
-
-    batch = 4
-    size = 256
 
     cfg = TrainConfig()
     cfg.model = ModelConfig(name="fuseunet", compute_dtype="bfloat16")
-    cfg.data.img_size = size
+    cfg.data.task = "synthetic"
+    cfg.data.variant = "proposed"
+    cfg.data.img_size = 256
     cfg.data.batch_size = batch
+    # big eval batches: fewer dispatches over the tunneled link during the
+    # per-case re-inference passes (each dispatch costs tens of ms)
+    cfg.data.eval_batch_size = max(batch, 32)
     cfg.data.num_tta_views = 4
     cfg.data.rotation_degree = 60.0
+    cfg.coteach.warmup_epochs = 20
+    cfg.num_epochs = 100
+    cfg.checkpoint_dir = "/tmp/aide_bench_ckpt"
+    cfg.history_dir = "/tmp/aide_bench_hist"
+    cfg.data.tempmask_folder = "tempmasks"
+    return cfg
 
-    model = build_model(cfg.model)
-    x = jnp.zeros((1, size, size, 3))
-    v1 = model.init(jax.random.key(0), x, x, train=False)
-    v2 = model.init(jax.random.key(1), x, x, train=False)
-    tx = make_optimizer(cfg.optim, EPOCH_SLICES // batch, cfg.num_epochs)
-    state = DualTrainState.create(v1, v2, tx)
 
-    rng = np.random.default_rng(0)
-    data = {
-        "modal1": jnp.asarray(rng.normal(size=(batch, size, size, 3)), jnp.float32),
-        "modal2": jnp.asarray(rng.normal(size=(batch, size, size, 3)), jnp.float32),
-        "fill1": jnp.asarray(rng.normal(size=(batch, 3)), jnp.float32),
-        "fill2": jnp.asarray(rng.normal(size=(batch, 3)), jnp.float32),
-        "target1": jnp.asarray(rng.random((batch, size, size)) > 0.7, jnp.int32),
-        "target2": jnp.asarray(rng.random((batch, size, size)) > 0.7, jnp.int32),
-    }
+def build_trainer(cfg):
+    from aide_tpu.data.tasks.synthetic import SyntheticTask
+    from aide_tpu.engine.trainer import Trainer
 
-    step = steps_mod.make_coteach_train_step(model, True, cfg)
+    # CHAOS flagship operating point: 30 train cases x ~33 slices = 990
+    # (984 in the reference), 10 test cases x 30 slices = 300, one labeled
+    # (clean) case, noisy working labels elsewhere
+    task = SyntheticTask(
+        root="/tmp/aide_bench_data",
+        tempmask_folder=cfg.data.tempmask_folder,
+        two_modal=True,
+        num_cases=30,
+        slices_per_case=33,
+        size=cfg.data.img_size,
+        noisy_fraction=0.5,
+        clean_cases=1,
+        num_test_cases=10,
+        test_case_offset=100,
+        seed=7,
+    )
+    trainer = Trainer(cfg, task=task)
+    trainer.label_cases = set(task.clean_case_ids())
+    return trainer
+
+
+def time_bare_steps(trainer, cfg, iters=16):
+    """Step-only metric reusing the trainer's already-compiled train step."""
+    # shard exactly like the epoch loop does — a differently-committed
+    # sharding would recompile the step
+    batch = trainer._shard(
+        trainer.train_pipe.batch_at(np.arange(cfg.data.batch_size))
+    )
     rate = jnp.asarray(0.5)
+    key = jax.random.key(123)
+    state = trainer.state  # donated per call; thread it through
 
-    # warmup / compile. NOTE: value fetches (float(...)), not
-    # block_until_ready — on the tunneled PJRT backend block_until_ready
-    # returns before remote execution completes; only a device->host value
-    # transfer is a true synchronization point.
-    key = jax.random.key(0)
-    state, m = step(state, data, key, rate)
+    # sync (value fetch — block_until_ready returns early on the tunnel)
+    state, m = trainer.train_step(state, batch, key, rate)
     float(m["loss1"])
-    for i in range(3):
-        state, m = step(state, data, jax.random.fold_in(key, i), rate)
-    float(m["loss1"])
-
-    iters = 32
     t0 = time.perf_counter()
     for i in range(iters):
-        state, m = step(state, data, jax.random.fold_in(key, 100 + i), rate)
+        state, m = trainer.train_step(
+            state, batch, jax.random.fold_in(key, i), rate
+        )
     float(m["loss1"])
-    dt = time.perf_counter() - t0
+    dt = (time.perf_counter() - t0) / iters
+    trainer.state = state
 
-    step_s = dt / iters
-    slices_per_s = batch / step_s
-    epoch_s = EPOCH_SLICES / slices_per_s
+    # FLOPs: in-process cache hit (the step is already compiled)
+    try:
+        an = (
+            trainer.train_step.lower(state, batch, key, rate)
+            .compile()
+            .cost_analysis()
+        )
+        if isinstance(an, list):
+            an = an[0]
+        flops = float(an.get("flops", 0.0))
+    except Exception:  # noqa: BLE001
+        flops = 0.0
+    return dt, flops
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--steps-only", action="store_true",
+                    help="report the step-extrapolated metric only (skip "
+                         "the timed full epoch)")
+    ap.add_argument("--profile", metavar="DIR",
+                    help="wrap the timed epoch in jax.profiler.trace")
+    args = ap.parse_args()
+
+    import shutil
+
+    shutil.rmtree("/tmp/aide_bench_data", ignore_errors=True)
+    shutil.rmtree("/tmp/aide_bench_ckpt", ignore_errors=True)
+
+    cfg = make_config(args.batch)
+    log("building trainer (1290 synthetic 256px slices on 1 host core)...")
+    trainer = build_trainer(cfg)
+    log("trainer built; warmup epoch 0 (compiles train/eval/predict)...")
+    trainer.run_epoch(0)
+    log("warmup done; timing bare train steps...")
+
+    dt, step_flops = time_bare_steps(trainer, cfg)
+    step_epoch_s = EPOCH_SLICES * dt / args.batch
+    step_tflops = step_flops / dt / 1e12 if step_flops else 0.0
+    extras = {
+        "batch_size": args.batch,
+        "train_step_epoch_seconds": round(step_epoch_s, 2),
+        "train_step_tflops_per_s": round(step_tflops, 1),
+        "train_step_mfu": round(step_tflops / PEAK_TFLOPS, 3),
+    }
+
+    if args.steps_only:
+        value = step_epoch_s
+    else:
+        log("timing full epoch 1...")
+        if args.profile:
+            with jax.profiler.trace(args.profile):
+                row = trainer.run_epoch(1)
+        else:
+            row = trainer.run_epoch(1)
+        value = float(row["time"])
+        extras["full_epoch_includes"] = (
+            "train+test_eval+2x case reinference+checkpoint+refresh"
+        )
+        extras.update(
+            {k: v for k, v in row.items() if k.startswith("time_")}
+        )
+
     print(
         json.dumps(
             {
                 "metric": "chaos_coteach_epoch_seconds",
-                "value": round(epoch_s, 2),
+                "value": round(value, 2),
                 "unit": "s/epoch",
-                "vs_baseline": round(BASELINE_EPOCH_S / epoch_s, 2),
+                "vs_baseline": round(BASELINE_EPOCH_S / value, 2),
+                **extras,
             }
         )
     )

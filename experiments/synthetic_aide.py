@@ -34,6 +34,8 @@ CLEAN_CASES = 4
 NOISY_FRACTION = 0.9
 NOISE_SHIFT_DIVISOR = 4   # +-16 px shifts at 64 px: corrupted masks barely overlap GT
 SEED = 11
+STYLE = "ellipse"         # --style hard: star-convex shapes, low contrast,
+                          # distractors — pretrain << ceiling (ROADMAP)
 
 
 def build_cfg(stage: str, workdir: str, epochs: int, resume: str = ""):
@@ -77,6 +79,7 @@ def make_task(workdir: str, stage: str, num_cases: int):
         noisy_fraction=NOISY_FRACTION,
         clean_cases=CLEAN_CASES,
         noise_shift_divisor=NOISE_SHIFT_DIVISOR,
+        style=STYLE,
         seed=SEED,
         test_case_offset=100,   # held-out anatomy, clean labels
         num_test_cases=8,
@@ -124,7 +127,15 @@ def main() -> int:
     ap.add_argument("--pretrain-epochs", type=int, default=60)
     ap.add_argument("--workdir", default="/tmp/aide_synth_exp")
     ap.add_argument("--out", default="")
+    ap.add_argument("--style", default="ellipse", choices=("ellipse", "hard"))
+    ap.add_argument("--clean-cases", type=int, default=CLEAN_CASES)
+    ap.add_argument("--shift-divisor", type=int, default=NOISE_SHIFT_DIVISOR)
     args = ap.parse_args()
+
+    global STYLE, CLEAN_CASES, NOISE_SHIFT_DIVISOR
+    STYLE = args.style
+    CLEAN_CASES = args.clean_cases
+    NOISE_SHIFT_DIVISOR = args.shift_divisor
 
     os.makedirs(args.workdir, exist_ok=True)
     results = {}
@@ -140,6 +151,7 @@ def main() -> int:
     print(json.dumps(results["aide"]), flush=True)
 
     summary = {
+        "style": STYLE,
         "noisy_fraction": NOISY_FRACTION,
         "noise_shift_divisor": NOISE_SHIFT_DIVISOR,
         "clean_cases": CLEAN_CASES,

@@ -153,8 +153,13 @@ class TestEvalPredict:
         m = ev(state, make_batch())
         assert np.isfinite(float(m["loss1"])) and np.isfinite(float(m["loss2"]))
         pred = steps.make_predict_step(model, False, dual=True)(state, make_batch())
-        assert pred.shape == (2, 4, 16, 16)
-        assert set(np.unique(np.asarray(pred))) <= {0, 1}
+        # binary labels come back bit-packed along width (8 px/byte) to cut
+        # the device->host fetch 8x; case_eval unpacks on host
+        assert pred.shape == (2, 4, 16, 2)
+        assert pred.dtype == jnp.uint8
+        labels = np.unpackbits(np.asarray(pred), axis=-1, count=16)
+        assert labels.shape == (2, 4, 16, 16)
+        assert set(np.unique(labels)) <= {0, 1}
 
     def test_single_eval(self, setup):
         cfg, model, tx, v1, _ = setup

@@ -31,8 +31,14 @@ class TestPipeline:
         assert set(np.unique(pipe.targets)) <= {0, 1}
 
     def test_per_image_normalization(self, pipe):
-        """Each cached image is ~zero-mean unit-std; fill = (0-mean)/std."""
-        img = pipe.images[0][0]
+        """Images are cached as raw uint8 plus affine coefficients such that
+        u8 * scale + fill is ~zero-mean unit-std (applied on device in
+        engine/steps.batch_images); fill = (0-mean)/std."""
+        assert pipe.images[0].dtype == np.uint8
+        img = (
+            pipe.images[0][0].astype(np.float32) * pipe.scales[0][0]
+            + pipe.fills[0][0]
+        )
         assert abs(img.mean()) < 0.05
         assert 0.9 < img.std() < 1.1
         # fill value maps raw 0 to normalized space

@@ -138,7 +138,7 @@ class TestResume:
         assert len(h_resumed) == 4
         for a, b in zip(h_straight, h_resumed):
             for k in a:
-                if k == "time":
+                if k == "time" or k.startswith("time_"):
                     continue
                 assert np.isclose(a[k], b[k], rtol=0, atol=0), (k, a[k], b[k])
         for la, lb in zip(
