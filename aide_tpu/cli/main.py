@@ -135,6 +135,10 @@ def cmd_eval(args) -> int:
     pipe = SlicePipeline(
         task, specs, cfg.data.img_size, cfg.data.data_mean, cfg.data.data_std
     )
+    if cfg.data.device_cache == "on" or (
+        cfg.data.device_cache == "auto" and len(jax.devices()) == 1
+    ):
+        pipe.to_device()
     cases = (
         task.load_case_list(cfg.data.testcase_csv)
         if cfg.data.testcase_csv
@@ -206,6 +210,10 @@ def cmd_predict(args) -> int:
     pipe = SlicePipeline(
         task, specs, cfg.data.img_size, cfg.data.data_mean, cfg.data.data_std
     )
+    if cfg.data.device_cache == "on" or (
+        cfg.data.device_cache == "auto" and len(jax.devices()) == 1
+    ):
+        pipe.to_device()
     model = build_model(cfg.model)
     s = cfg.data.img_size
     dummy = (jnp.zeros((1, s, s, 3)),) * (2 if task.two_modal else 1)

@@ -80,6 +80,12 @@ class DataConfig:
     # The reference augments only the TTA copies; the main image gets
     # resize+normalize only (trainchaos_proposed_30cases1labeled.py:191-197).
     augment_main: bool = False
+    # Keep the whole decode-once cache resident in device HBM and gather
+    # batches on device by index (SlicePipeline.to_device). 'auto' enables
+    # it on single-device meshes (where per-batch uploads pay tunnel/link
+    # latency); 'on'/'off' force it. Multi-device meshes keep host batches
+    # so the data axis shards normally.
+    device_cache: str = "auto"
 
 
 @dataclass

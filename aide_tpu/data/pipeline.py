@@ -61,6 +61,29 @@ class LabelStore:
             self.task.write_case_tempmask(specs, volume.astype(np.uint8), net)
 
 
+_GATHER = None  # lazily-jitted device gather shared by all pipelines
+
+
+def _device_gather(data, idx):
+    """Gather a batch from the device-resident dataset: one fused program,
+    only the (B,) index array crosses the host->device link. Targets are
+    widened to int32 on device (stored uint8 to quarter the upload)."""
+    global _GATHER
+    if _GATHER is None:
+        import jax
+        import jax.numpy as jnp
+
+        def gather(d, i):
+            out = {k: jnp.take(v, i, axis=0) for k, v in d.items()}
+            for k in ("target", "target1", "target2"):
+                if k in out:
+                    out[k] = out[k].astype(jnp.int32)
+            return out
+
+        _GATHER = jax.jit(gather)
+    return _GATHER(data, idx)
+
+
 class SlicePipeline:
     def __init__(
         self,
@@ -125,12 +148,58 @@ class SlicePipeline:
             LabelStore(task, self.specs, self.targets) if working_labels else None
         )
 
+        # device-resident cache (see to_device)
+        self._device_data = None
+        self._device_labels = None
+
     def __len__(self) -> int:
         return len(self.specs)
+
+    # ------------------------- device residency -------------------------
+
+    def to_device(self) -> None:
+        """Upload the whole decode-once cache to the accelerator ONCE;
+        subsequent batches are gathered ON DEVICE from a (B,) index array.
+
+        On a tunneled/remote chip every per-batch host->device transfer
+        pays link latency (measured ~0.25 s per batch regardless of size);
+        with the dataset resident in HBM an epoch ships only index arrays.
+        A CHAOS-sized train set (990 two-modal 256px slices) is ~520 MB of
+        uint8 in HBM — well inside one chip's 16 GB."""
+        import jax
+
+        data = {}
+        if self.task.two_modal:
+            data["modal1"], data["modal2"] = self.images
+            data["scale1"], data["scale2"] = self.scales
+            data["fill1"], data["fill2"] = self.fills
+        else:
+            data["image"] = self.images[0]
+            data["scale"] = self.scales[0]
+            data["fill"] = self.fills[0]
+        data["target"] = self.targets
+        self._device_data = jax.device_put(data)
+        self.sync_labels_to_device()
+
+    def sync_labels_to_device(self) -> None:
+        """Re-upload the working labels after a refresh mutated them on
+        host (refresh_case). No-op unless to_device() was called."""
+        if self._device_data is None or self.labels is None:
+            return
+        import jax
+
+        self._device_labels = jax.device_put(
+            {"target1": self.labels.get(1), "target2": self.labels.get(2)}
+        )
 
     # ------------------------- batching -------------------------
 
     def _batch_from(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
+        if self._device_data is not None:
+            data = dict(self._device_data)
+            if self._device_labels is not None:
+                data.update(self._device_labels)
+            return _device_gather(data, np.asarray(idx, np.int32))
         batch: Dict[str, np.ndarray] = {}
         if self.task.two_modal:
             batch["modal1"] = self.images[0][idx]

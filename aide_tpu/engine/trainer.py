@@ -100,6 +100,15 @@ class Trainer:
             )
             mesh = make_mesh(_dc.replace(cfg.mesh, num_devices=n_fit))
         self.mesh = mesh
+        # device-resident dataset: gather batches on device by index so an
+        # epoch ships only (B,) index arrays over the host->device link
+        dc = cfg.data.device_cache
+        self.device_resident = dc == "on" or (
+            dc == "auto" and self.mesh.devices.size == 1
+        )
+        if self.device_resident:
+            self.train_pipe.to_device()
+            self.test_pipe.to_device()
         self.model = build_model(cfg.model)
         spe = self.train_pipe.steps_per_epoch(cfg.data.batch_size)
         tx = make_optimizer(cfg.optim, spe, cfg.num_epochs)
@@ -187,6 +196,8 @@ class Trainer:
         return (x, x) if self.two_modal else (x,)
 
     def _shard(self, batch):
+        if self.device_resident:
+            return batch  # already gathered on the (single) device
         return shard_batch(batch, self.mesh, self.cfg.mesh.data_axis)
 
     # ------------------------------ epochs ------------------------------
@@ -283,6 +294,8 @@ class Trainer:
             self.logger.info(
                 "Mask {} modify for net{}".format(refreshed, net_idx + 1)
             )
+        # refreshed labels live on host; mirror them back into device HBM
+        self.train_pipe.sync_labels_to_device()
 
     def _is_refresh_epoch(self, epoch: int) -> bool:
         e1 = epoch + 1

@@ -45,6 +45,30 @@ class TestPipeline:
         raw_zero = pipe.fills[0][0]
         assert np.all(raw_zero < 0)  # images have positive means
 
+    def test_device_cache_matches_host_batches(self, pipe):
+        """to_device(): batches gathered on device are value-identical to
+        host-assembled batches, and label refreshes propagate after
+        sync_labels_to_device()."""
+        idx = [0, 3, 5]
+        host = {k: np.asarray(v) for k, v in pipe._batch_from(np.asarray(idx)).items()}
+        pipe.to_device()
+        dev = pipe.batch_at(idx)
+        assert set(dev) == set(host)
+        for k in host:
+            got = np.asarray(dev[k])
+            assert got.dtype == host[k].dtype, k
+            assert np.array_equal(got, host[k]), k
+        # refresh one case's working labels, then sync
+        case = pipe.cases[0]
+        idxs = pipe.case_indices(case)
+        vol = np.ones((len(idxs), 32, 32), np.uint8)
+        pipe.labels.refresh_case(1, idxs, vol, mirror=False)
+        stale = np.asarray(pipe.batch_at([idxs[0]])["target1"])
+        pipe.sync_labels_to_device()
+        fresh = np.asarray(pipe.batch_at([idxs[0]])["target1"])
+        assert fresh.sum() == 32 * 32
+        assert stale.sum() != fresh.sum() or (stale == 1).all()
+
     def test_fixed_normalization(self, task):
         specs = task.load_manifest(train=True)
         p = SlicePipeline(
