@@ -36,6 +36,9 @@ class LabelStore:
         self.specs = list(specs)
         size = targets.shape[1]
         self.labels = [targets.copy(), targets.copy()]  # net 1, net 2
+        # row indices mutated since the last device sync (see
+        # SlicePipeline.sync_labels_to_device)
+        self.dirty = [[], []]
         # pick up any refreshed labels already on disk (resume / interop)
         for net in (1, 2):
             for i, spec in enumerate(self.specs):
@@ -56,12 +59,14 @@ class LabelStore:
         lab = self.labels[net - 1]
         for i, sl in zip(indices, volume):
             lab[i] = sl.astype(np.uint8)
+        self.dirty[net - 1].extend(int(i) for i in indices)
         if mirror and self.task.tempmask_folder:
             specs = [self.specs[i] for i in indices]
             self.task.write_case_tempmask(specs, volume.astype(np.uint8), net)
 
 
 _GATHER = None  # lazily-jitted device gather shared by all pipelines
+_SCATTER = None  # lazily-jitted in-place label row scatter
 
 
 def _device_gather(data, idx):
@@ -182,15 +187,40 @@ class SlicePipeline:
         self.sync_labels_to_device()
 
     def sync_labels_to_device(self) -> None:
-        """Re-upload the working labels after a refresh mutated them on
-        host (refresh_case). No-op unless to_device() was called."""
+        """Push working-label rows mutated on host (refresh_case) into the
+        device-resident copy. Only the dirty rows are uploaded and scattered
+        in place (donated buffer), padded to a power-of-two row count so the
+        scatter program compiles for O(log n) distinct shapes, not one per
+        refresh. No-op unless to_device() was called."""
         if self._device_data is None or self.labels is None:
             return
         import jax
+        import jax.numpy as jnp
 
-        self._device_labels = jax.device_put(
-            {"target1": self.labels.get(1), "target2": self.labels.get(2)}
-        )
+        if self._device_labels is None:  # first sync: full upload
+            self._device_labels = jax.device_put(
+                {"target1": self.labels.get(1), "target2": self.labels.get(2)}
+            )
+            self.labels.dirty = [[], []]
+            return
+
+        global _SCATTER
+        if _SCATTER is None:
+            _SCATTER = jax.jit(
+                lambda a, i, r: a.at[i].set(r), donate_argnums=0
+            )
+        for net in (1, 2):
+            idx = self.labels.dirty[net - 1]
+            if not idx:
+                continue
+            pad = 1 << (len(idx) - 1).bit_length()
+            idx = np.asarray(idx + [idx[-1]] * (pad - len(idx)), np.int32)
+            rows = self.labels.get(net)[idx]
+            key = f"target{net}"
+            self._device_labels[key] = _SCATTER(
+                self._device_labels[key], jnp.asarray(idx), rows
+            )
+        self.labels.dirty = [[], []]
 
     # ------------------------- batching -------------------------
 

@@ -95,13 +95,18 @@ def infer_cases(
     pad = (-n) % batch_size
     padded = np.asarray(all_idx + [all_idx[-1]] * pad)
 
-    # dispatch every batch first (async), fetch afterwards
+    # dispatch every batch first (async), then fetch ALL results in one
+    # batched device->host transfer — per-array fetches would each pay a
+    # round trip on a tunneled chip (measured ~37x slower than one get)
+    import jax
+
     pending = [
         predict_step(state, pipe.batch_at(padded[s : s + batch_size]))
         for s in range(0, len(padded), batch_size)
     ]
+    fetched = jax.device_get(pending)
     chunks = [
-        np.asarray(p) if dual else np.asarray(p)[None] for p in pending
+        np.asarray(p) if dual else np.asarray(p)[None] for p in fetched
     ]  # each (n_nets, B, H, W) — or (n_nets, B, H, W/8) bit-packed
     preds = np.concatenate(chunks, axis=1)[:, :n]
     if preds.shape[-1] * 8 == pipe.img_size:

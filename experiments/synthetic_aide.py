@@ -120,6 +120,7 @@ def run(stage: str, workdir: str, epochs: int, resume: str = "") -> dict:
 
 
 def main() -> int:
+    global STYLE, CLEAN_CASES, NOISE_SHIFT_DIVISOR
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=40)
     # the pretrain stage sees only 4 cases (32 slices, 4 steps/epoch) and
@@ -132,7 +133,6 @@ def main() -> int:
     ap.add_argument("--shift-divisor", type=int, default=NOISE_SHIFT_DIVISOR)
     args = ap.parse_args()
 
-    global STYLE, CLEAN_CASES, NOISE_SHIFT_DIVISOR
     STYLE = args.style
     CLEAN_CASES = args.clean_cases
     NOISE_SHIFT_DIVISOR = args.shift_divisor
