@@ -1,0 +1,66 @@
+"""Sweep co-teaching hyperparameters for the AIDE stage of the synthetic
+ladder (experiments/synthetic_aide.py), reusing one shared pretrain
+checkpoint. Each variant runs the full AIDE stage (~2-3 min on one chip)
+and reports best test-case Dice + final working-label quality vs GT.
+
+Usage: python experiments/aide_sweep.py <pretrain_ckpt> [--epochs N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import synthetic_aide as SA
+
+VARIANTS = {
+    "flagship": [],
+    "cons1": ["coteach.consistency_weight=1.0"],
+    "warmstart": ["@resume"],
+    "warmstart_cons1": ["@resume", "coteach.consistency_weight=1.0"],
+    "update50": ["coteach.update_percent=0.5"],
+    "sharpen": ["coteach.temperature=0.5"],
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("pretrain_ckpt")
+    ap.add_argument("--epochs", type=int, default=120)
+    ap.add_argument("--style", default="hard")
+    ap.add_argument("--protocol", default="pseudo")
+    ap.add_argument("--only", default="", help="comma-separated variant names")
+    ap.add_argument("--workroot", default="/tmp/aide_sweep")
+    args = ap.parse_args()
+
+    SA.STYLE = args.style
+    SA.PROTOCOL = args.protocol
+    names = args.only.split(",") if args.only else list(VARIANTS)
+
+    results = {}
+    for name in names:
+        overrides = list(VARIANTS[name])
+        resume = args.pretrain_ckpt if "@resume" in overrides else ""
+        overrides = [o for o in overrides if o != "@resume"]
+        SA.AIDE_OVERRIDES = overrides
+        workdir = os.path.join(args.workroot, name)
+        os.makedirs(workdir, exist_ok=True)
+        r = SA.run(
+            "aide", workdir, args.epochs,
+            resume=resume, pseudo_from=args.pretrain_ckpt,
+        )
+        r["overrides"] = overrides + (["resume"] if resume else [])
+        results[name] = r
+        print(json.dumps({name: r}), flush=True)
+
+    print(json.dumps(results, indent=2), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

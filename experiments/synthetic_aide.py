@@ -31,18 +31,32 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 NUM_CASES = 18
 CLEAN_CASES = 4
+SLICES_PER_CASE = 8
+MODEL = "unet8"
 NOISY_FRACTION = 0.9
 NOISE_SHIFT_DIVISOR = 4   # +-16 px shifts at 64 px: corrupted masks barely overlap GT
 SEED = 11
 STYLE = "ellipse"         # --style hard: star-convex shapes, low contrast,
                           # distractors — pretrain << ceiling (ROADMAP)
+# Where the noisy annotations come from:
+#   'shift'  — random shift+morph corruption of GT masks (the noisy-
+#              annotation regime, e.g. kidney annotator errors).
+#   'pseudo' — the model pretrained on the clean budget annotates every
+#              unlabeled case and those predictions become the working
+#              labels (the reference's limited-annotation CHAOS ladder:
+#              pretrain 0.756 -> pseudo-label naive 0.799 -> AIDE 0.871,
+#              examplesegmentationresults/, SURVEY §6).
+PROTOCOL = "shift"
+# extra dotted-key overrides applied to the AIDE stage config only (used by
+# experiments/aide_sweep.py to search co-teaching hyperparameters)
+AIDE_OVERRIDES: list = []
 
 
 def build_cfg(stage: str, workdir: str, epochs: int, resume: str = ""):
     from aide_tpu.core.config import TrainConfig, ModelConfig
 
     cfg = TrainConfig()
-    cfg.model = ModelConfig(name="unet8", compute_dtype="bfloat16", norm="batch")
+    cfg.model = ModelConfig(name=MODEL, compute_dtype="bfloat16", norm="batch")
     cfg.data.task = "synthetic"
     cfg.data.variant = "proposed" if stage == "aide" else "comparison"
     cfg.data.img_size = 64
@@ -52,16 +66,24 @@ def build_cfg(stage: str, workdir: str, epochs: int, resume: str = ""):
     cfg.data.rotation_degree = 45.0
     cfg.data.tempmask_folder = f"tempmasks_{stage}"
     cfg.num_epochs = epochs
-    cfg.coteach.warmup_epochs = max(2, epochs // 3)
-    cfg.coteach.consistency_weight = 1.0
-    cfg.coteach.update_percent = 0.25
-    if stage == "aide":
-        # the reference's noisy-annotation trainers fine-tune at 1e-5
-        # (trainkidney_proposed_mask1.py:39)
-        cfg.optim.lr = 1e-5
+    if PROTOCOL == "pseudo":
+        # mirror the flagship trainchaos_proposed defaults: fresh dual nets
+        # (resume stays empty — random init IS the co-teaching asymmetry),
+        # lr 1e-4, consistency weight 10, 20 warmup epochs
+        cfg.coteach.warmup_epochs = min(20, max(2, epochs // 3))
+    else:
+        cfg.coteach.warmup_epochs = max(2, epochs // 3)
+        cfg.coteach.consistency_weight = 1.0
+        cfg.coteach.update_percent = 0.25
+        if stage == "aide":
+            # the noisy-annotation regime fine-tunes from the clean anchor
+            # at 1e-5 (trainkidney_proposed_mask1.py:39)
+            cfg.optim.lr = 1e-5
     cfg.resume_file = resume
     cfg.checkpoint_dir = os.path.join(workdir, f"ckpt_{stage}")
     cfg.history_dir = os.path.join(workdir, f"hist_{stage}")
+    if stage == "aide" and AIDE_OVERRIDES:
+        cfg = cfg.override(AIDE_OVERRIDES)
     return cfg
 
 
@@ -74,9 +96,12 @@ def make_task(workdir: str, stage: str, num_cases: int):
         root=os.path.join(workdir, f"data_{stage}"),
         tempmask_folder=f"tempmasks_{stage}",
         num_cases=num_cases,
-        slices_per_case=8,
+        slices_per_case=SLICES_PER_CASE,
         size=64,
-        noisy_fraction=NOISY_FRACTION,
+        # pseudo protocol: unlabeled cases start with GT that is then
+        # OVERWRITTEN by pretrain-model predictions (apply_pseudo_labels);
+        # no artificial corruption
+        noisy_fraction=0.0 if PROTOCOL == "pseudo" else NOISY_FRACTION,
         clean_cases=CLEAN_CASES,
         noise_shift_divisor=NOISE_SHIFT_DIVISOR,
         style=STYLE,
@@ -86,7 +111,84 @@ def make_task(workdir: str, stage: str, num_cases: int):
     )
 
 
-def run(stage: str, workdir: str, epochs: int, resume: str = "") -> dict:
+def apply_pseudo_labels(trainer, pretrain_ckpt: str) -> None:
+    """The reference's limited-annotation protocol: the model pretrained on
+    the labeled budget annotates every unlabeled case, and those predictions
+    become the labels the next stage trains on (the golden
+    fuseunet_chaoscomparison30cases1labeled config is exactly this
+    pseudo-label pretrain; AIDE then refines the same labels)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aide_tpu.engine import checkpoint as ckpt_mod
+    from aide_tpu.engine import steps as steps_mod
+    from aide_tpu.engine.state import TrainState
+    from aide_tpu.evaluation.case_eval import infer_cases
+    from aide_tpu.ops.schedules import make_optimizer
+
+    pipe = trainer.train_pipe
+    s = trainer.cfg.data.img_size
+    dummy = (jnp.zeros((1, s, s, 3)),) * (2 if trainer.two_modal else 1)
+    template = trainer.model.init(jax.random.key(0), *dummy, train=False)
+    variables = ckpt_mod.load_net(pretrain_ckpt, template)
+    state = TrainState.create(variables, make_optimizer(trainer.cfg.optim, 1, 1))
+    predict = steps_mod.make_predict_step(trainer.model, trainer.two_modal, dual=False)
+
+    cases = [c for c in pipe.cases if c not in trainer.label_cases]
+    volumes = infer_cases(
+        predict, state, pipe, cases, trainer.cfg.data.eval_batch_size, dual=False
+    )
+    qs = []
+    for case, vols in zip(cases, volumes):
+        idxs = pipe.case_indices(case)
+        vol = vols[0].astype(np.uint8)
+        g = pipe.targets[idxs] > 0  # still GT at this point
+        p = vol > 0
+        u = float(p.sum()) + float(g.sum())
+        qs.append(1.0 if u == 0 else 2.0 * float((p & g).sum()) / u)
+        if trainer.dual:
+            # initial working labels for both co-teaching nets
+            for net in (1, 2):
+                pipe.labels.refresh_case(net, idxs, vol)
+        else:
+            # the supervised naive stage trains directly on pseudo-GT
+            pipe.targets[idxs] = vol
+    # push the rewritten labels into the device-resident cache
+    if pipe._device_data is not None:
+        if trainer.dual:
+            pipe.sync_labels_to_device()
+        else:
+            pipe.to_device()
+    print(
+        json.dumps({"pseudo_label_quality": round(float(np.mean(qs)), 4)}),
+        flush=True,
+    )
+
+
+def label_quality(trainer) -> float:
+    """Mean Dice of the working labels vs clean GT over non-clean cases
+    (both nets) — the oracle for whether refresh helps or hurts. Only
+    meaningful under the pseudo protocol, where pipe.targets stay GT."""
+    import numpy as np
+
+    pipe = trainer.train_pipe
+    qs = []
+    for case in pipe.cases:
+        if case in trainer.label_cases:
+            continue
+        idxs = pipe.case_indices(case)
+        g = pipe.targets[idxs] > 0
+        for net in (1, 2):
+            l = pipe.labels.get(net)[idxs] > 0
+            u = float(l.sum()) + float(g.sum())
+            qs.append(1.0 if u == 0 else 2.0 * float((l & g).sum()) / u)
+    return round(float(np.mean(qs)), 4)
+
+
+def run(
+    stage: str, workdir: str, epochs: int, resume: str = "", pseudo_from: str = ""
+) -> dict:
     from aide_tpu.engine.trainer import Trainer
 
     num_cases = CLEAN_CASES if stage == "pretrain" else NUM_CASES
@@ -95,6 +197,8 @@ def run(stage: str, workdir: str, epochs: int, resume: str = "") -> dict:
     t0 = time.time()
     trainer = Trainer(cfg, task=task)
     trainer.label_cases = set(task.clean_case_ids())
+    if pseudo_from and PROTOCOL == "pseudo":
+        apply_pseudo_labels(trainer, pseudo_from)
     # evaluate on held-out cases from an independent generator segment
     history = trainer.run(epochs)
     last = history[-1]
@@ -102,7 +206,9 @@ def run(stage: str, workdir: str, epochs: int, resume: str = "") -> dict:
         max(r.get("testcase_dice1", 0.0), r.get("testcase_dice2", 0.0))
         for r in history
     )
+    quality = label_quality(trainer) if trainer.dual else None
     return {
+        **({"final_label_quality": quality} if quality is not None else {}),
         "stage": stage,
         "epochs": epochs,
         "final_testcase_dice": max(
@@ -120,7 +226,8 @@ def run(stage: str, workdir: str, epochs: int, resume: str = "") -> dict:
 
 
 def main() -> int:
-    global STYLE, CLEAN_CASES, NOISE_SHIFT_DIVISOR
+    global STYLE, CLEAN_CASES, NOISE_SHIFT_DIVISOR, PROTOCOL
+    global NUM_CASES, SLICES_PER_CASE, MODEL
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=40)
     # the pretrain stage sees only 4 cases (32 slices, 4 steps/epoch) and
@@ -129,11 +236,19 @@ def main() -> int:
     ap.add_argument("--workdir", default="/tmp/aide_synth_exp")
     ap.add_argument("--out", default="")
     ap.add_argument("--style", default="ellipse", choices=("ellipse", "hard"))
+    ap.add_argument("--protocol", default="shift", choices=("shift", "pseudo"))
+    ap.add_argument("--num-cases", type=int, default=NUM_CASES)
+    ap.add_argument("--slices-per-case", type=int, default=SLICES_PER_CASE)
+    ap.add_argument("--model", default=MODEL)
     ap.add_argument("--clean-cases", type=int, default=CLEAN_CASES)
     ap.add_argument("--shift-divisor", type=int, default=NOISE_SHIFT_DIVISOR)
     args = ap.parse_args()
 
     STYLE = args.style
+    PROTOCOL = args.protocol
+    NUM_CASES = args.num_cases
+    SLICES_PER_CASE = args.slices_per_case
+    MODEL = args.model
     CLEAN_CASES = args.clean_cases
     NOISE_SHIFT_DIVISOR = args.shift_divisor
 
@@ -142,16 +257,28 @@ def main() -> int:
     results["pretrain"] = run("pretrain", args.workdir, args.pretrain_epochs)
     print(json.dumps(results["pretrain"]), flush=True)
 
-    results["naive"] = run("naive", args.workdir, args.epochs)
+    results["naive"] = run(
+        "naive", args.workdir, args.epochs,
+        pseudo_from=results["pretrain"]["checkpoint"],
+    )
     print(json.dumps(results["naive"]), flush=True)
 
     results["aide"] = run(
-        "aide", args.workdir, args.epochs, resume=results["pretrain"]["checkpoint"]
+        "aide", args.workdir, args.epochs,
+        # shift regime: clean-anchored warm start (kidney protocol).
+        # pseudo regime: fresh dual nets like the CHAOS flagship — random
+        # init is the co-teaching asymmetry; warm-starting both nets from
+        # one checkpoint collapses into self-confirmation.
+        resume="" if PROTOCOL == "pseudo" else results["pretrain"]["checkpoint"],
+        pseudo_from=results["pretrain"]["checkpoint"],
     )
     print(json.dumps(results["aide"]), flush=True)
 
     summary = {
         "style": STYLE,
+        "protocol": PROTOCOL,
+        "model": MODEL,
+        "slices_per_case": SLICES_PER_CASE,
         "noisy_fraction": NOISY_FRACTION,
         "noise_shift_divisor": NOISE_SHIFT_DIVISOR,
         "clean_cases": CLEAN_CASES,
