@@ -55,14 +55,19 @@ def cross_entropy_2d(
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     valid = (targets != ignore_index).astype(logp.dtype)
     safe_t = jnp.where(targets == ignore_index, 0, targets)
-    # one-hot contraction instead of take_along_axis: per-pixel gathers are
-    # HBM-crawl on TPU (~5 GB/s measured); the one-hot multiply-sum fuses
-    # into a single elementwise kernel in both forward and backward
-    onehot = jax.nn.one_hot(safe_t, logp.shape[-1], dtype=logp.dtype)
-    nll = -jnp.sum(logp * onehot, axis=-1)
+    # lax.select_n instead of take_along_axis OR a one-hot contraction:
+    # per-pixel gathers crawl on TPU (~5 GB/s measured), and XLA's
+    # algebraic simplifier turns sum(logp * one_hot(t)) BACK into that
+    # gather (profiled: 2x6.9 ms/step VMEM-read-bound fusions). select_n
+    # over the statically-unstacked class slices stays a pure VPU select
+    # chain in both forward and backward.
+    classes = [logp[..., i] for i in range(logp.shape[-1])]
+    nll = -jax.lax.select_n(safe_t, *classes)
     if class_weight is not None:
-        cw = jnp.asarray(class_weight, dtype=nll.dtype)
-        w = jnp.sum(onehot * cw, axis=-1)
+        w = jax.lax.select_n(
+            safe_t,
+            *[jnp.full_like(nll, float(cw)) for cw in class_weight],
+        )
     else:
         w = jnp.ones_like(nll)
     w = w * valid
