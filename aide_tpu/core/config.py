@@ -86,6 +86,10 @@ class DataConfig:
     # latency); 'on'/'off' force it. Multi-device meshes keep host batches
     # so the data axis shards normally.
     device_cache: str = "auto"
+    # When set, SlicePipeline persists its decoded/resized arrays to a keyed
+    # npz under this directory (decode is minutes on 1-core TPU-VM hosts;
+    # warm loads are seconds). Key covers manifest + img_size + norm stats.
+    decode_cache_dir: str = ""
 
 
 @dataclass

@@ -98,6 +98,7 @@ class SlicePipeline:
         data_mean: Optional[Sequence[float]] = None,
         data_std: Optional[Sequence[float]] = None,
         working_labels: bool = False,
+        cache_dir: Optional[str] = None,
     ):
         self.task = task
         self.specs = list(specs)
@@ -105,6 +106,20 @@ class SlicePipeline:
         n = len(self.specs)
         if n == 0:
             raise ValueError("empty manifest")
+        # optional on-disk decode cache: decoding+resizing a CHAOS-sized
+        # manifest costs minutes on a 1-core host; a keyed npz makes warm
+        # runs (bench reruns, repeated experiments) load in seconds
+        cache_file = None
+        if cache_dir:
+            import hashlib
+
+            key = hashlib.sha1(
+                "|".join(
+                    [repr(s) for s in self.specs]
+                    + [str(img_size), str(data_mean), str(data_std)]
+                ).encode()
+            ).hexdigest()[:16]
+            cache_file = os.path.join(cache_dir, f"decode_{key}.npz")
 
         n_mod = 2 if task.two_modal else 1
         # uint8 image cache + per-image affine normalization coefficients:
@@ -125,6 +140,16 @@ class SlicePipeline:
         mean_arr = np.asarray(data_mean, np.float32) if fixed else None
         std_arr = np.asarray(data_std, np.float32) if fixed else None
 
+        if cache_file and os.path.exists(cache_file):
+            z = np.load(cache_file)
+            for m in range(n_mod):
+                self.images[m] = z[f"images{m}"]
+                self.scales[m] = z[f"scales{m}"]
+                self.fills[m] = z[f"fills{m}"]
+            self.targets = z["targets"]
+            self._finish_init(working_labels)
+            return
+
         for i, spec in enumerate(self.specs):
             imgs, mask = task.decode(spec)
             for m, img in enumerate(imgs):
@@ -141,6 +166,18 @@ class SlicePipeline:
                 self.fills[m][i] = -mean / std
             self.targets[i] = resize_mask(mask, img_size)
 
+        if cache_file:
+            os.makedirs(cache_dir, exist_ok=True)
+            arrays = {"targets": self.targets}
+            for m in range(n_mod):
+                arrays[f"images{m}"] = self.images[m]
+                arrays[f"scales{m}"] = self.scales[m]
+                arrays[f"fills{m}"] = self.fills[m]
+            np.savez(cache_file, **arrays)
+
+        self._finish_init(working_labels)
+
+    def _finish_init(self, working_labels: bool) -> None:
         # case grouping (sorted within case by sort_key)
         self.case_slices: Dict[str, List[int]] = {}
         for i, spec in enumerate(self.specs):
@@ -150,7 +187,9 @@ class SlicePipeline:
         self.cases = list(self.case_slices)
 
         self.labels: Optional[LabelStore] = (
-            LabelStore(task, self.specs, self.targets) if working_labels else None
+            LabelStore(self.task, self.specs, self.targets)
+            if working_labels
+            else None
         )
 
         # device-resident cache (see to_device)

@@ -65,10 +65,12 @@ class Trainer:
         self.train_pipe = SlicePipeline(
             self.task, train_specs, cfg.data.img_size,
             cfg.data.data_mean, cfg.data.data_std, working_labels=self.dual,
+            cache_dir=cfg.data.decode_cache_dir or None,
         )
         self.test_pipe = SlicePipeline(
             self.task, test_specs, cfg.data.img_size,
             cfg.data.data_mean, cfg.data.data_std, working_labels=False,
+            cache_dir=cfg.data.decode_cache_dir or None,
         )
         self.train_cases = (
             self.task.load_case_list(cfg.data.traincase_csv)

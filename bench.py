@@ -67,6 +67,9 @@ def make_config(batch: int):
     cfg.checkpoint_dir = "/tmp/aide_bench_ckpt"
     cfg.history_dir = "/tmp/aide_bench_hist"
     cfg.data.tempmask_folder = "tempmasks"
+    # decoded-array cache survives across bench runs (generating 1290
+    # 256px synthetic slices costs ~2-3 min on the 1-core host)
+    cfg.data.decode_cache_dir = "/tmp/aide_bench_decode_cache"
     return cfg
 
 

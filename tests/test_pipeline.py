@@ -69,6 +69,25 @@ class TestPipeline:
         assert fresh.sum() == 32 * 32
         assert stale.sum() != fresh.sum() or (stale == 1).all()
 
+    def test_decode_cache_roundtrip(self, task, tmp_path):
+        """Second construction with the same cache_dir loads the npz and
+        never calls task.decode; arrays are identical."""
+        specs = task.load_manifest(train=True)
+        cache = str(tmp_path / "decode_cache")
+        p1 = SlicePipeline(task, specs, img_size=32, cache_dir=cache)
+        assert os.listdir(cache)
+
+        def boom(spec):  # decode must not be called on a warm load
+            raise AssertionError("decode called despite cache")
+
+        task.decode = boom
+        p2 = SlicePipeline(task, specs, img_size=32, cache_dir=cache)
+        assert np.array_equal(p1.images[0], p2.images[0])
+        assert np.array_equal(p1.scales[0], p2.scales[0])
+        assert np.array_equal(p1.fills[0], p2.fills[0])
+        assert np.array_equal(p1.targets, p2.targets)
+        assert p1.cases == p2.cases
+
     def test_fixed_normalization(self, task):
         specs = task.load_manifest(train=True)
         p = SlicePipeline(
