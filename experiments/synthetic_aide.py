@@ -227,7 +227,7 @@ def run(
 
 def main() -> int:
     global STYLE, CLEAN_CASES, NOISE_SHIFT_DIVISOR, PROTOCOL
-    global NUM_CASES, SLICES_PER_CASE, MODEL
+    global NUM_CASES, SLICES_PER_CASE, MODEL, SEED
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=40)
     # the pretrain stage sees only 4 cases (32 slices, 4 steps/epoch) and
@@ -240,6 +240,8 @@ def main() -> int:
     ap.add_argument("--num-cases", type=int, default=NUM_CASES)
     ap.add_argument("--slices-per-case", type=int, default=SLICES_PER_CASE)
     ap.add_argument("--model", default=MODEL)
+    ap.add_argument("--seed", type=int, default=SEED,
+                    help="synthetic data generator seed (case anatomy)")
     ap.add_argument("--clean-cases", type=int, default=CLEAN_CASES)
     ap.add_argument("--shift-divisor", type=int, default=NOISE_SHIFT_DIVISOR)
     args = ap.parse_args()
@@ -249,6 +251,7 @@ def main() -> int:
     NUM_CASES = args.num_cases
     SLICES_PER_CASE = args.slices_per_case
     MODEL = args.model
+    SEED = args.seed
     CLEAN_CASES = args.clean_cases
     NOISE_SHIFT_DIVISOR = args.shift_divisor
 
@@ -277,6 +280,7 @@ def main() -> int:
     summary = {
         "style": STYLE,
         "protocol": PROTOCOL,
+        "seed": SEED,
         "model": MODEL,
         "slices_per_case": SLICES_PER_CASE,
         "noisy_fraction": NOISY_FRACTION,
