@@ -25,6 +25,9 @@ VARIANTS = {
     "warmstart_cons1": ["@resume", "coteach.consistency_weight=1.0"],
     "update50": ["coteach.update_percent=0.5"],
     "sharpen": ["coteach.temperature=0.5"],
+    # the shift-regime recipe applied to pseudo labels: clean-anchored
+    # fine-tune instead of flagship from-scratch
+    "kidney": ["@resume", "coteach.consistency_weight=1.0", "optim.lr=1e-5"],
 }
 
 
@@ -36,10 +39,18 @@ def main() -> int:
     ap.add_argument("--protocol", default="pseudo")
     ap.add_argument("--only", default="", help="comma-separated variant names")
     ap.add_argument("--workroot", default="/tmp/aide_sweep")
+    ap.add_argument("--num-cases", type=int, default=SA.NUM_CASES)
+    ap.add_argument("--clean-cases", type=int, default=SA.CLEAN_CASES)
+    ap.add_argument("--slices-per-case", type=int, default=SA.SLICES_PER_CASE)
+    ap.add_argument("--model", default=SA.MODEL)
     args = ap.parse_args()
 
     SA.STYLE = args.style
     SA.PROTOCOL = args.protocol
+    SA.NUM_CASES = args.num_cases
+    SA.CLEAN_CASES = args.clean_cases
+    SA.SLICES_PER_CASE = args.slices_per_case
+    SA.MODEL = args.model
     names = args.only.split(",") if args.only else list(VARIANTS)
 
     results = {}
