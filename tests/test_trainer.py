@@ -154,3 +154,31 @@ class TestResume:
         assert tr.ascending is False
         tr.run(1)  # first epoch only records the changepoint
         assert tr.best_dice == 0.0 or tr.ascending
+
+
+@pytest.mark.slow
+class TestDeviceCache:
+    def test_device_resident_matches_host_batches(self, tmp_path):
+        """data.device_cache=on (HBM-resident dataset, on-device gather)
+        must reproduce the host-batch path's history exactly."""
+        histories = {}
+        for mode in ("off", "on"):
+            cfg = small_cfg(tmp_path / mode, variant="proposed", num_epochs=2)
+            cfg.data.device_cache = mode
+            task = SyntheticTask(
+                root=str(tmp_path / mode / "synth"),
+                tempmask_folder="tempmasks",
+                num_cases=4,
+                slices_per_case=4,
+                size=32,
+                noisy_fraction=0.5,
+                seed=3,
+            )
+            tr = Trainer(cfg, task=task)
+            assert tr.device_resident == (mode == "on")
+            histories[mode] = tr.run(2)
+        for a, b in zip(histories["off"], histories["on"]):
+            for k in a:
+                if k == "time" or k.startswith("time_"):
+                    continue
+                assert np.isclose(a[k], b[k], rtol=0, atol=1e-6), (k, a[k], b[k])
