@@ -240,6 +240,38 @@ def cmd_predict(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Convert an aide_tpu .msgpack checkpoint into a reference-loadable
+    torch .pkl ({'net': state_dict, ...}) so reference users can evaluate
+    models trained here with their own scripts
+    (evalchaos_comparison_1cases.py:154-157)."""
+    cfg = _build_config(args)
+    from aide_tpu.engine import checkpoint as ckpt_mod
+    from aide_tpu.interop import export_reference_checkpoint
+    from aide_tpu.models import build_model, is_two_modal
+    import jax
+    import jax.numpy as jnp
+
+    if not args.checkpoint or not args.output:
+        print("error: export needs --checkpoint and --output", file=sys.stderr)
+        return 2
+    model = build_model(cfg.model)
+    s = cfg.data.img_size
+    dummy = (jnp.zeros((1, s, s, 3)),) * (2 if is_two_modal(cfg.model.name) else 1)
+    template = model.init(jax.random.key(0), *dummy, train=False)
+    variables = ckpt_mod.load_net(args.checkpoint, template)
+    meta = ckpt_mod.read_meta(args.checkpoint) or {}
+    export_reference_checkpoint(
+        args.output, variables, cfg.model.name, cfg.model.learned_bilinear,
+        meta={
+            "loss": float(meta.get("test_loss1", meta.get("test_loss", 0.0))),
+            "epoch": int(meta.get("epoch", 0)),
+        },
+    )
+    print(json.dumps({"output": os.path.abspath(args.output)}))
+    return 0
+
+
 def cmd_presets(args) -> int:
     for name in sorted(PRESETS):
         print(name)
@@ -288,6 +320,14 @@ def main(argv=None) -> int:
     p_pred.add_argument("--checkpoint", help="net checkpoint (.msgpack, or a reference torch .pkl)")
     p_pred.add_argument("--output", help="output directory")
     p_pred.set_defaults(fn=cmd_predict)
+
+    p_exp = sub.add_parser(
+        "export", help="convert a .msgpack checkpoint to a reference torch .pkl"
+    )
+    _add_common(p_exp)
+    p_exp.add_argument("--checkpoint", help="aide_tpu net checkpoint (.msgpack)")
+    p_exp.add_argument("--output", help="output .pkl path")
+    p_exp.set_defaults(fn=cmd_export)
 
     p_ls = sub.add_parser("presets", help="list available presets")
     p_ls.set_defaults(fn=cmd_presets)

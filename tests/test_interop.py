@@ -251,3 +251,64 @@ def test_import_reports_missing_keys(tmp_path):
     torch.save({"net": sd}, path)
     with pytest.raises(KeyError, match="missing"):
         import_reference_checkpoint(path, "fuseunet")
+
+
+# ------------------------------- export -------------------------------
+
+
+@pytest.mark.parametrize(
+    "model_name,two_modal", [("unet4", False), ("fuseunet", True)]
+)
+def test_export_import_roundtrip(tmp_path, model_name, two_modal):
+    """export_reference_checkpoint writes a torch-loadable .pkl that our
+    torch-free importer maps back to the EXACT original variables."""
+    from aide_tpu.core.config import ModelConfig
+    from aide_tpu.interop import (
+        export_reference_checkpoint,
+        import_reference_checkpoint,
+    )
+    from aide_tpu.models import build_model
+
+    cfg = ModelConfig(
+        name=model_name, base_width=4, norm="batch", compute_dtype="float32"
+    )
+    model = build_model(cfg)
+    x = jnp.zeros((1, 16, 16, 3))
+    variables = model.init(
+        jax.random.key(0), *((x, x) if two_modal else (x,)), train=False
+    )
+    variables = jax.tree_util.tree_map(np.asarray, variables)
+
+    path = str(tmp_path / "exported.pkl")
+    export_reference_checkpoint(
+        path, variables, model_name, meta={"loss": 0.1, "epoch": 5}
+    )
+
+    # the reference's own loader consumes it
+    obj = torch.load(path, weights_only=False)
+    assert obj["epoch"] == 5 and "net" in obj
+
+    back = import_reference_checkpoint(path, model_name)
+    flat_a = jax.tree_util.tree_leaves_with_path(variables)
+    flat_b = {
+        jax.tree_util.keystr(k): v
+        for k, v in jax.tree_util.tree_leaves_with_path(back)
+    }
+    assert len(flat_a) == len(flat_b)
+    for k, va in flat_a:
+        vb = flat_b[jax.tree_util.keystr(k)]
+        assert np.array_equal(np.asarray(va), np.asarray(vb)), k
+
+
+def test_export_rejects_group_norm(tmp_path):
+    from aide_tpu.core.config import ModelConfig
+    from aide_tpu.interop import variables_to_state_dict
+    from aide_tpu.models import build_model
+
+    cfg = ModelConfig(
+        name="unet4", base_width=4, norm="group", compute_dtype="float32"
+    )
+    model = build_model(cfg)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)), train=False)
+    with pytest.raises(KeyError, match="norm='batch'"):
+        variables_to_state_dict(variables, "unet4")
