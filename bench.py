@@ -40,6 +40,9 @@ import numpy as np
 
 EPOCH_SLICES = 984      # CHAOS proposed train set (README.md:45)
 BASELINE_EPOCH_S = 420.0
+# the reference's supervised comparison config at the same operating point
+# (single fuseunet, no TTA/coteach) runs ~300 s/epoch (README.md:45)
+SUPERVISED_BASELINE_S = 300.0
 # bf16 peak of one v5e chip (MXU); MFU is measured against this
 PEAK_TFLOPS = 197.0
 
@@ -48,13 +51,13 @@ def log(msg):
     print(f"# {msg}", file=sys.stderr, flush=True)
 
 
-def make_config(batch: int):
+def make_config(batch: int, variant: str = "proposed"):
     from aide_tpu.core.config import ModelConfig, TrainConfig
 
     cfg = TrainConfig()
     cfg.model = ModelConfig(name="fuseunet", compute_dtype="bfloat16")
     cfg.data.task = "synthetic"
-    cfg.data.variant = "proposed"
+    cfg.data.variant = variant
     cfg.data.img_size = 256
     cfg.data.batch_size = batch
     # big eval batches: fewer dispatches over the tunneled link during the
@@ -109,22 +112,27 @@ def time_bare_steps(trainer, cfg, iters=16):
     key = jax.random.key(123)
     state = trainer.state  # donated per call; thread it through
 
+    if trainer.dual:
+        step_args = lambda i: (batch, jax.random.fold_in(key, i), rate)
+        loss_key = "loss1"
+    else:
+        step_args = lambda i: (batch,)
+        loss_key = "loss"
+
     # sync (value fetch — block_until_ready returns early on the tunnel)
-    state, m = trainer.train_step(state, batch, key, rate)
-    float(m["loss1"])
+    state, m = trainer.train_step(state, *step_args(-1))
+    float(m[loss_key])
     t0 = time.perf_counter()
     for i in range(iters):
-        state, m = trainer.train_step(
-            state, batch, jax.random.fold_in(key, i), rate
-        )
-    float(m["loss1"])
+        state, m = trainer.train_step(state, *step_args(i))
+    float(m[loss_key])
     dt = (time.perf_counter() - t0) / iters
     trainer.state = state
 
     # FLOPs: in-process cache hit (the step is already compiled)
     try:
         an = (
-            trainer.train_step.lower(state, batch, key, rate)
+            trainer.train_step.lower(state, *step_args(0))
             .compile()
             .cost_analysis()
         )
@@ -139,6 +147,9 @@ def time_bare_steps(trainer, cfg, iters=16):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--supervised", action="store_true",
+                    help="benchmark the supervised comparison config "
+                         "(single net, no TTA/coteach; reference ~300 s)")
     ap.add_argument("--steps-only", action="store_true",
                     help="report the step-extrapolated metric only (skip "
                          "the timed full epoch)")
@@ -151,7 +162,8 @@ def main() -> int:
     shutil.rmtree("/tmp/aide_bench_data", ignore_errors=True)
     shutil.rmtree("/tmp/aide_bench_ckpt", ignore_errors=True)
 
-    cfg = make_config(args.batch)
+    variant = "comparison" if args.supervised else "proposed"
+    cfg = make_config(args.batch, variant)
     log("building trainer (1290 synthetic 256px slices on 1 host core)...")
     trainer = build_trainer(cfg)
     log("trainer built; warmup epoch 0 (compiles train/eval/predict)...")
@@ -159,6 +171,7 @@ def main() -> int:
     log("warmup done; timing bare train steps...")
 
     dt, step_flops = time_bare_steps(trainer, cfg)
+    baseline = SUPERVISED_BASELINE_S if args.supervised else BASELINE_EPOCH_S
     step_epoch_s = EPOCH_SLICES * dt / args.batch
     step_tflops = step_flops / dt / 1e12 if step_flops else 0.0
     extras = {
@@ -179,19 +192,26 @@ def main() -> int:
             row = trainer.run_epoch(1)
         value = float(row["time"])
         extras["full_epoch_includes"] = (
-            "train+test_eval+2x case reinference+checkpoint+refresh"
+            "train+test_eval+case reinference+checkpoint"
+            if args.supervised
+            else "train+test_eval+2x case reinference+checkpoint+refresh"
         )
         extras.update(
             {k: v for k, v in row.items() if k.startswith("time_")}
         )
 
+    metric = (
+        "chaos_supervised_epoch_seconds"
+        if args.supervised
+        else "chaos_coteach_epoch_seconds"
+    )
     print(
         json.dumps(
             {
-                "metric": "chaos_coteach_epoch_seconds",
+                "metric": metric,
                 "value": round(value, 2),
                 "unit": "s/epoch",
-                "vs_baseline": round(BASELINE_EPOCH_S / value, 2),
+                "vs_baseline": round(baseline / value, 2),
                 **extras,
             }
         )
