@@ -182,3 +182,27 @@ class TestDeviceCache:
                 if k == "time" or k.startswith("time_"):
                     continue
                 assert np.isclose(a[k], b[k], rtol=0, atol=1e-6), (k, a[k], b[k])
+
+
+@pytest.mark.slow
+class TestCheckpointFlush:
+    def test_best_writes_immediately_end_defers(self, tmp_path):
+        """checkpoint_flush='best' (reference behavior) writes files at the
+        best epoch itself; 'end' snapshots on device and writes identical
+        files only at flush_checkpoints()."""
+        files = {}
+        for mode in ("best", "end"):
+            tr = make_trainer(tmp_path / mode, checkpoint_flush=mode)
+            tr.run_epoch(0)  # epoch 0 is always a best epoch
+            name = f"{tr.cfg.experiment_name}_net1_besttraincasedice.msgpack"
+            path = os.path.join(tr.cfg.checkpoint_dir, name)
+            if mode == "best":
+                assert os.path.exists(path), "best-mode must write immediately"
+            else:
+                assert not os.path.exists(path), "end-mode must defer writes"
+                tr.flush_checkpoints()
+                assert os.path.exists(path)
+            with open(path, "rb") as fh:
+                files[mode] = fh.read()
+        # same training -> byte-identical exports from either mode
+        assert files["best"] == files["end"]
