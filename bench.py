@@ -119,8 +119,10 @@ def time_bare_steps(trainer, cfg, iters=16):
         step_args = lambda i: (batch,)
         loss_key = "loss"
 
-    # sync (value fetch — block_until_ready returns early on the tunnel)
-    state, m = trainer.train_step(state, *step_args(-1))
+    # sync (value fetch — block_until_ready returns early on the tunnel);
+    # fold_in data must be non-negative (uint32), so the warmup call uses
+    # an index far outside the timed range
+    state, m = trainer.train_step(state, *step_args(1_000_000))
     float(m[loss_key])
     t0 = time.perf_counter()
     for i in range(iters):
@@ -158,6 +160,20 @@ def main() -> int:
     args = ap.parse_args()
 
     import shutil
+    import signal
+
+    # A cold run is dominated by remote compiles (~10 min). If a driver
+    # timeout SIGTERMs us after the step measurement but before the timed
+    # full epoch, flush the step-extrapolated result instead of nothing
+    # (marked "partial": "steps_only").
+    partial = {}
+
+    def _flush_partial(signum, frame):
+        if partial:
+            print(json.dumps(partial), flush=True)
+        sys.exit(0)
+
+    signal.signal(signal.SIGTERM, _flush_partial)
 
     shutil.rmtree("/tmp/aide_bench_data", ignore_errors=True)
     shutil.rmtree("/tmp/aide_bench_ckpt", ignore_errors=True)
@@ -181,6 +197,22 @@ def main() -> int:
         "train_step_mfu": round(step_tflops / PEAK_TFLOPS, 3),
     }
 
+    metric_name = (
+        "chaos_supervised_epoch_seconds"
+        if args.supervised
+        else "chaos_coteach_epoch_seconds"
+    )
+    partial.update(
+        {
+            "metric": metric_name,
+            "value": round(step_epoch_s, 2),
+            "unit": "s/epoch",
+            "vs_baseline": round(baseline / step_epoch_s, 2),
+            "partial": "steps_only",
+            **extras,
+        }
+    )
+
     if args.steps_only:
         value = step_epoch_s
     else:
@@ -200,15 +232,11 @@ def main() -> int:
             {k: v for k, v in row.items() if k.startswith("time_")}
         )
 
-    metric = (
-        "chaos_supervised_epoch_seconds"
-        if args.supervised
-        else "chaos_coteach_epoch_seconds"
-    )
+    partial.clear()  # a full result follows; disarm the SIGTERM fallback
     print(
         json.dumps(
             {
-                "metric": metric,
+                "metric": metric_name,
                 "value": round(value, 2),
                 "unit": "s/epoch",
                 "vs_baseline": round(baseline / value, 2),
