@@ -156,10 +156,16 @@ def cmd_eval(args) -> int:
     state = TrainState.create(variables, make_optimizer(cfg.optim, 1, 1))
 
     predict = steps_mod.make_predict_step(model, task.two_modal, dual=False)
+    predict_all = (
+        steps_mod.make_predict_all(model, task.two_modal, dual=False)
+        if pipe.device_image_data is not None
+        else None
+    )
     results = evaluate_cases(
         predict, state, pipe, cases, cfg.data.eval_batch_size, dual=False,
         target_net=None, keep_largest_cc=cfg.eval.keep_largest_cc,
         full_metrics=True, keep_volumes=cfg.eval.save_png,
+        predict_all=predict_all,
     )[0]
 
     out_dir = args.output or cfg.eval.output_dir
@@ -229,6 +235,11 @@ def cmd_predict(args) -> int:
     volumes = infer_cases(
         predict, state, pipe, pipe.cases, cfg.data.eval_batch_size,
         dual=False, keep_largest_cc=cfg.eval.keep_largest_cc,
+        predict_all=(
+            steps_mod.make_predict_all(model, task.two_modal, dual=False)
+            if pipe.device_image_data is not None
+            else None
+        ),
     )
     count = 0
     for case, vols in zip(pipe.cases, volumes):

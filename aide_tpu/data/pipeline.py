@@ -225,6 +225,18 @@ class SlicePipeline:
         self._device_data = jax.device_put(data)
         self.sync_labels_to_device()
 
+    @property
+    def device_image_data(self):
+        """The device-resident image arrays (no targets/labels) — the data
+        argument for engine.steps.make_predict_all. None unless
+        to_device() was called."""
+        if self._device_data is None:
+            return None
+        return {
+            k: v for k, v in self._device_data.items()
+            if not k.startswith("target")
+        }
+
     def sync_labels_to_device(self) -> None:
         """Push working-label rows mutated on host (refresh_case) into the
         device-resident copy. Only the dirty rows are uploaded and scattered

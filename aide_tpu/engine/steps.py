@@ -384,8 +384,7 @@ def make_predict_step(model, two_modal: bool, dual: bool):
 
     if dual:
 
-        @jax.jit
-        def step(state: DualTrainState, batch):
+        def predict(state: DualTrainState, batch):
             images = batch_images(batch, two_modal)
 
             def fwd(params, stats):
@@ -400,8 +399,7 @@ def make_predict_step(model, two_modal: bool, dual: bool):
 
     else:
 
-        @jax.jit
-        def step(state: TrainState, batch):
+        def predict(state: TrainState, batch):
             images = batch_images(batch, two_modal)
             logits, _ = forward(state.params, state.batch_stats, images, False, False)
             labels = jnp.argmax(logits, axis=-1)
@@ -409,4 +407,27 @@ def make_predict_step(model, two_modal: bool, dual: bool):
                 return _encode(labels)
             return labels.astype(jnp.uint8)
 
-    return step
+    return jax.jit(predict)
+
+
+def make_predict_all(model, two_modal: bool, dual: bool):
+    """Whole-eval-set inference as ONE device program.
+
+    Takes the device-resident image data (data dict from
+    SlicePipeline.to_device — image/scale/fill keys only) and an (N, B)
+    index matrix; lax.map's the per-batch predict over the rows, gathering
+    each batch ON DEVICE. One dispatch and one fetch replace ~2 dispatches
+    per batch — on a tunneled chip the per-call submission overhead made
+    the re-inference phase jitter by seconds. Returns (N, [2,] B, H, W/8)
+    packed labels (same encoding as make_predict_step)."""
+    predict = make_predict_step(model, two_modal, dual)
+
+    @jax.jit
+    def run(state, data, idx_mat):
+        def one(idx):
+            batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+            return predict(state, batch)
+
+        return jax.lax.map(one, idx_mat)
+
+    return run

@@ -162,6 +162,13 @@ class Trainer:
         self.predict_step = steps_mod.make_predict_step(
             self.model, self.two_modal, dual=self.dual
         )
+        # whole-eval-set inference as one device program (device-resident
+        # data only); None falls back to per-batch dispatch
+        self.predict_all = (
+            steps_mod.make_predict_all(self.model, self.two_modal, self.dual)
+            if self.device_resident
+            else None
+        )
 
         self.root_key = prng.root_key(cfg.seed)
         self.best_dice = 0.0
@@ -392,6 +399,7 @@ class Trainer:
             self.predict_step, self.state, self.test_pipe, self.test_cases,
             cfg.data.eval_batch_size, dual=self.dual, target_net=None,
             keep_largest_cc=cfg.eval.keep_largest_cc,
+            predict_all=self.predict_all,
         )
         traincase = evaluate_cases(
             self.predict_step, self.state, self.train_pipe, self.train_cases,
@@ -399,6 +407,7 @@ class Trainer:
             target_net="self" if self.dual else None,
             keep_largest_cc=cfg.eval.keep_largest_cc,
             keep_volumes=self.dual,
+            predict_all=self.predict_all,
         )
         phases["time_cases"] = time.time() - ts - sum(phases.values())
 

@@ -74,6 +74,7 @@ def infer_cases(
     batch_size: int,
     dual: bool,
     keep_largest_cc: bool = True,
+    predict_all: Optional[Callable] = None,
 ) -> List[Dict[int, np.ndarray]]:
     """Predicted volumes per case. Returns a list aligned with ``cases`` of
     {net_index: (S, H, W) uint8} (net_index 0 for single nets).
@@ -95,20 +96,38 @@ def infer_cases(
     pad = (-n) % batch_size
     padded = np.asarray(all_idx + [all_idx[-1]] * pad)
 
-    # dispatch every batch first (async), then fetch ALL results in one
-    # batched device->host transfer — per-array fetches would each pay a
-    # round trip on a tunneled chip (measured ~37x slower than one get)
     import jax
 
-    pending = [
-        predict_step(state, pipe.batch_at(padded[s : s + batch_size]))
-        for s in range(0, len(padded), batch_size)
-    ]
-    fetched = jax.device_get(pending)
-    chunks = [
-        np.asarray(p) if dual else np.asarray(p)[None] for p in fetched
-    ]  # each (n_nets, B, H, W) — or (n_nets, B, H, W/8) bit-packed
-    preds = np.concatenate(chunks, axis=1)[:, :n]
+    if predict_all is not None and pipe.device_image_data is not None:
+        # the WHOLE eval set as one device program (lax.map over batches,
+        # gathering on device) — one dispatch + one fetch; per-call
+        # submission overhead on a tunneled chip otherwise costs seconds
+        idx_mat = np.asarray(
+            padded.reshape(-1, batch_size), np.int32
+        )
+        out = np.asarray(
+            jax.device_get(
+                predict_all(state, pipe.device_image_data, idx_mat)
+            )
+        )  # (N, 2, B, H, Wp) dual / (N, B, H, Wp) single
+        if dual:
+            preds = np.moveaxis(out, 1, 0).reshape(2, -1, *out.shape[3:])
+        else:
+            preds = out.reshape(1, -1, *out.shape[2:])
+        preds = preds[:, :n]
+    else:
+        # dispatch every batch first (async), then fetch ALL results in
+        # one batched device->host transfer — per-array fetches would each
+        # pay a round trip on a tunneled chip (measured ~37x slower)
+        pending = [
+            predict_step(state, pipe.batch_at(padded[s : s + batch_size]))
+            for s in range(0, len(padded), batch_size)
+        ]
+        fetched = jax.device_get(pending)
+        chunks = [
+            np.asarray(p) if dual else np.asarray(p)[None] for p in fetched
+        ]  # each (n_nets, B, H, W) — or (n_nets, B, H, W/8) bit-packed
+        preds = np.concatenate(chunks, axis=1)[:, :n]
     if preds.shape[-1] * 8 == pipe.img_size:
         # binary labels arrive bit-packed along width (engine/steps.py
         # make_predict_step: 8x smaller device->host fetch); unpack on host
@@ -139,6 +158,7 @@ def evaluate_cases(
     keep_largest_cc: bool = True,
     full_metrics: bool = False,
     keep_volumes: bool = False,
+    predict_all: Optional[Callable] = None,
 ) -> Dict[int, List[CaseResult]]:
     """Per-case 3D Dice (and optionally IoU/confusion counts) for each net.
 
@@ -149,7 +169,8 @@ def evaluate_cases(
     when target_net == 'self'.
     """
     volumes = infer_cases(
-        predict_step, state, pipe, cases, batch_size, dual, keep_largest_cc
+        predict_step, state, pipe, cases, batch_size, dual, keep_largest_cc,
+        predict_all=predict_all,
     )
     results: Dict[int, List[CaseResult]] = {}
     n_nets = 2 if dual else 1
