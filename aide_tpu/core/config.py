@@ -81,10 +81,11 @@ class DataConfig:
     # resize+normalize only (trainchaos_proposed_30cases1labeled.py:191-197).
     augment_main: bool = False
     # Keep the whole decode-once cache resident in device HBM and gather
-    # batches on device by index (SlicePipeline.to_device). 'auto' enables
-    # it on single-device meshes (where per-batch uploads pay tunnel/link
-    # latency); 'on'/'off' force it. Multi-device meshes keep host batches
-    # so the data axis shards normally.
+    # batches on device by index (SlicePipeline.to_device). 'auto' (and
+    # 'on') enable it on any mesh: single-device keeps one HBM copy,
+    # multi-device shards the arrays over the data axis and assembles
+    # batches with an explicit distributed gather (data/pipeline.MeshCache).
+    # 'off' falls back to per-batch host uploads.
     device_cache: str = "auto"
     # When set, SlicePipeline persists its decoded/resized arrays to a keyed
     # npz under this directory (decode is minutes on 1-core TPU-VM hosts;
@@ -192,7 +193,10 @@ class TrainConfig:
     checkpoint_flush: str = "end"
     history_dir: str = "history"
     resume_file: str = ""             # warm start (trainkidney_proposed_mask1.py:51)
-    log_every_steps: int = 50
+    # mid-epoch loss lines (the reference's tqdm visibility). 0 = off, the
+    # default: each line costs one device->host sync, which stalls the async
+    # dispatch pipeline on tunneled/remote backends. Genuinely opt-in.
+    log_every_steps: int = 0
     # kidney trainers gate checkpointing until train dice bottoms out
     # (trainkidney_proposed_mask1.py:436-464)
     ascending_checkpoint_gate: bool = False

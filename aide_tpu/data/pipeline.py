@@ -69,6 +69,15 @@ _GATHER = None  # lazily-jitted device gather shared by all pipelines
 _SCATTER = None  # lazily-jitted in-place label row scatter
 
 
+def _widen_targets(out):
+    import jax.numpy as jnp
+
+    for k in ("target", "target1", "target2"):
+        if k in out:
+            out[k] = out[k].astype(jnp.int32)
+    return out
+
+
 def _device_gather(data, idx):
     """Gather a batch from the device-resident dataset: one fused program,
     only the (B,) index array crosses the host->device link. Targets are
@@ -79,14 +88,141 @@ def _device_gather(data, idx):
         import jax.numpy as jnp
 
         def gather(d, i):
-            out = {k: jnp.take(v, i, axis=0) for k, v in d.items()}
-            for k in ("target", "target1", "target2"):
-                if k in out:
-                    out[k] = out[k].astype(jnp.int32)
-            return out
+            return _widen_targets(
+                {k: jnp.take(v, i, axis=0) for k, v in d.items()}
+            )
 
         _GATHER = jax.jit(gather)
     return _GATHER(data, idx)
+
+
+class MeshCache:
+    """Device-resident dataset sharded over the data axis of a multi-device
+    mesh (VERDICT round 2 #5: the decode-once HBM cache must not turn off
+    when devices are added).
+
+    The arrays live batch-sharded (leading/data axis, rows padded to a
+    multiple of the mesh size). A batch gather for arbitrary shuffled
+    indices is an explicit shard_map program — each device serves the rows
+    that live in its shard, zero elsewhere, and a ``psum`` over the data
+    axis assembles the batch (one small all-reduce of batch-sized tensors
+    riding ICI; the dataset itself never moves). The result comes back
+    batch-sharded when the batch divides the mesh, replicated otherwise
+    (ragged final eval batches). Explicit shard_map instead of GSPMD
+    inference keeps XLA from ever choosing an all-gather of the full
+    dataset for the gather op. Label refresh rows scatter into the shard
+    that owns them (out-of-shard updates dropped)."""
+
+    def __init__(self, mesh, data_axis: str, n_rows: int):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self.mesh = mesh
+        self.axis = data_axis
+        self.n_dev = mesh.shape[data_axis]
+        self.shard_rows = -(-n_rows // self.n_dev)  # ceil
+        self.padded_rows = self.shard_rows * self.n_dev
+        self.row_sharding = NamedSharding(mesh, P(data_axis))
+        self._jitted = {}
+
+    def pad(self, arr: np.ndarray) -> np.ndarray:
+        pad = self.padded_rows - arr.shape[0]
+        if pad == 0:
+            return arr
+        return np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
+
+    def put(self, tree):
+        import jax
+
+        return jax.device_put(
+            {k: self.pad(np.asarray(v)) for k, v in tree.items()},
+            self.row_sharding,
+        )
+
+    def gather(self, data, idx):
+        import jax
+
+        b = int(idx.shape[0])
+        key = ("g", b, tuple(sorted(data)))
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(self._make_gather(b % self.n_dev == 0))
+        return self._jitted[key](data, idx)
+
+    def _make_gather(self, sharded_out: bool):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+
+        axis, n_dev, shard_rows = self.axis, self.n_dev, self.shard_rows
+
+        def body(local, idx):
+            d = jax.lax.axis_index(axis)
+            lo = d * shard_rows
+            rel = jnp.clip(idx - lo, 0, shard_rows - 1)
+            mask = (idx >= lo) & (idx < lo + shard_rows)
+
+            def serve(v):
+                part = jnp.take(v, rel, axis=0)
+                m = mask.reshape((-1,) + (1,) * (part.ndim - 1))
+                part = jnp.where(m, part, jnp.zeros_like(part))
+                full = jax.lax.psum(part, axis)
+                if sharded_out:
+                    b_local = idx.shape[0] // n_dev
+                    full = jax.lax.dynamic_slice_in_dim(
+                        full, d * b_local, b_local, axis=0
+                    )
+                return full
+
+            return {k: serve(v) for k, v in local.items()}
+
+        out_spec = P(axis) if sharded_out else P()
+        # tree-prefix specs: P(axis) applies to every leaf of the data dict
+        fn = jax.shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(P(self.axis), P()),
+            out_specs=out_spec,
+        )
+
+        def gather(data, idx):
+            return _widen_targets(dict(fn(data, idx)))
+
+        return gather
+
+    def scatter(self, arr, idx: np.ndarray, rows: np.ndarray):
+        """Write refreshed label rows into the sharded device copy."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+
+        key = ("s", int(idx.shape[0]))
+        if key not in self._jitted:
+            axis, shard_rows = self.axis, self.shard_rows
+
+            def body(local, idx, rows):
+                d = jax.lax.axis_index(axis)
+                lo = d * shard_rows
+                in_shard = (idx >= lo) & (idx < lo + shard_rows)
+                # out-of-shard updates redirect past the end -> mode='drop'
+                rel = jnp.where(in_shard, idx - lo, shard_rows)
+                return local.at[rel].set(rows, mode="drop")
+
+            self._jitted[key] = jax.jit(
+                jax.shard_map(
+                    body,
+                    mesh=self.mesh,
+                    in_specs=(P(self.axis), P(), P()),
+                    out_specs=P(self.axis),
+                ),
+                donate_argnums=0,
+            )
+        return self._jitted[key](arr, jnp_asarray_i32(idx), rows)
+
+
+def jnp_asarray_i32(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x, jnp.int32)
 
 
 class SlicePipeline:
@@ -113,9 +249,22 @@ class SlicePipeline:
         if cache_dir:
             import hashlib
 
+            def stat_sig(spec: SliceSpec) -> str:
+                # size+mtime of every source file: re-annotated masks or
+                # regenerated images at the same paths must invalidate the
+                # cached decoded arrays (including targets)
+                sig = []
+                for p in list(spec.image_paths) + [spec.mask_path]:
+                    try:
+                        st = os.stat(p)
+                        sig.append(f"{st.st_size}:{st.st_mtime_ns}")
+                    except OSError:
+                        sig.append("?")
+                return ",".join(sig)
+
             key = hashlib.sha1(
                 "|".join(
-                    [repr(s) for s in self.specs]
+                    [repr(s) + stat_sig(s) for s in self.specs]
                     + [str(img_size), str(data_mean), str(data_std)]
                 ).encode()
             ).hexdigest()[:16]
@@ -195,13 +344,14 @@ class SlicePipeline:
         # device-resident cache (see to_device)
         self._device_data = None
         self._device_labels = None
+        self._mesh_cache: Optional[MeshCache] = None
 
     def __len__(self) -> int:
         return len(self.specs)
 
     # ------------------------- device residency -------------------------
 
-    def to_device(self) -> None:
+    def to_device(self, mesh=None, data_axis: str = "data") -> None:
         """Upload the whole decode-once cache to the accelerator ONCE;
         subsequent batches are gathered ON DEVICE from a (B,) index array.
 
@@ -209,7 +359,12 @@ class SlicePipeline:
         pays link latency (measured ~0.25 s per batch regardless of size);
         with the dataset resident in HBM an epoch ships only index arrays.
         A CHAOS-sized train set (990 two-modal 256px slices) is ~520 MB of
-        uint8 in HBM — well inside one chip's 16 GB."""
+        uint8 in HBM — well inside one chip's 16 GB.
+
+        On a multi-device ``mesh`` the arrays are sharded over the data
+        axis (each device keeps 1/n of the dataset) and batches assemble
+        via an explicit distributed gather (MeshCache) — the cache scales
+        with the mesh instead of turning off."""
         import jax
 
         data = {}
@@ -222,7 +377,12 @@ class SlicePipeline:
             data["scale"] = self.scales[0]
             data["fill"] = self.fills[0]
         data["target"] = self.targets
-        self._device_data = jax.device_put(data)
+        if mesh is not None and mesh.devices.size > 1:
+            self._mesh_cache = MeshCache(mesh, data_axis, len(self.specs))
+            self._device_data = self._mesh_cache.put(data)
+        else:
+            self._mesh_cache = None
+            self._device_data = jax.device_put(data)
         self.sync_labels_to_device()
 
     @property
@@ -243,14 +403,23 @@ class SlicePipeline:
         in place (donated buffer), padded to a power-of-two row count so the
         scatter program compiles for O(log n) distinct shapes, not one per
         refresh. No-op unless to_device() was called."""
-        if self._device_data is None or self.labels is None:
+        if self.labels is None:
+            return
+        if self._device_data is None:
+            # host-batch pipelines read labels straight from the store; the
+            # dirty index lists are only meaningful for the device mirror and
+            # must not grow unboundedly across refresh epochs
+            self.labels.dirty = [[], []]
             return
         import jax
         import jax.numpy as jnp
 
         if self._device_labels is None:  # first sync: full upload
-            self._device_labels = jax.device_put(
-                {"target1": self.labels.get(1), "target2": self.labels.get(2)}
+            labels = {"target1": self.labels.get(1), "target2": self.labels.get(2)}
+            self._device_labels = (
+                self._mesh_cache.put(labels)
+                if self._mesh_cache is not None
+                else jax.device_put(labels)
             )
             self.labels.dirty = [[], []]
             return
@@ -268,9 +437,14 @@ class SlicePipeline:
             idx = np.asarray(idx + [idx[-1]] * (pad - len(idx)), np.int32)
             rows = self.labels.get(net)[idx]
             key = f"target{net}"
-            self._device_labels[key] = _SCATTER(
-                self._device_labels[key], jnp.asarray(idx), rows
-            )
+            if self._mesh_cache is not None:
+                self._device_labels[key] = self._mesh_cache.scatter(
+                    self._device_labels[key], idx, rows
+                )
+            else:
+                self._device_labels[key] = _SCATTER(
+                    self._device_labels[key], jnp.asarray(idx), rows
+                )
         self.labels.dirty = [[], []]
 
     # ------------------------- batching -------------------------
@@ -280,6 +454,8 @@ class SlicePipeline:
             data = dict(self._device_data)
             if self._device_labels is not None:
                 data.update(self._device_labels)
+            if self._mesh_cache is not None:
+                return self._mesh_cache.gather(data, np.asarray(idx, np.int32))
             return _device_gather(data, np.asarray(idx, np.int32))
         batch: Dict[str, np.ndarray] = {}
         if self.task.two_modal:

@@ -100,17 +100,27 @@ class Trainer:
             n_fit = fit_data_devices(
                 math.gcd(cfg.data.batch_size, cfg.data.eval_batch_size), n_avail
             )
+            if n_fit < n_avail:
+                # never shrink the mesh silently (an 8-chip pod with the
+                # chaos preset's bs 4 would otherwise train on 4 chips)
+                self.logger.warning(
+                    "MESH SHRUNK: %d devices available but "
+                    "gcd(batch_size=%d, eval_batch_size=%d) only shards over "
+                    "%d — scale data.batch_size/eval_batch_size to use the "
+                    "full mesh",
+                    n_avail, cfg.data.batch_size, cfg.data.eval_batch_size,
+                    n_fit,
+                )
             mesh = make_mesh(_dc.replace(cfg.mesh, num_devices=n_fit))
         self.mesh = mesh
         # device-resident dataset: gather batches on device by index so an
-        # epoch ships only (B,) index arrays over the host->device link
+        # epoch ships only (B,) index arrays over the host->device link.
+        # Multi-device meshes shard the cache over the data axis (MeshCache).
         dc = cfg.data.device_cache
-        self.device_resident = dc == "on" or (
-            dc == "auto" and self.mesh.devices.size == 1
-        )
+        self.device_resident = dc in ("on", "auto")
         if self.device_resident:
-            self.train_pipe.to_device()
-            self.test_pipe.to_device()
+            self.train_pipe.to_device(self.mesh, cfg.mesh.data_axis)
+            self.test_pipe.to_device(self.mesh, cfg.mesh.data_axis)
         self.model = build_model(cfg.model)
         spe = self.train_pipe.steps_per_epoch(cfg.data.batch_size)
         tx = make_optimizer(cfg.optim, spe, cfg.num_epochs)
@@ -162,11 +172,13 @@ class Trainer:
         self.predict_step = steps_mod.make_predict_step(
             self.model, self.two_modal, dual=self.dual
         )
-        # whole-eval-set inference as one device program (device-resident
-        # data only); None falls back to per-batch dispatch
+        # whole-eval-set inference as one device program (single-device
+        # resident data only — on a sharded cache the per-batch predict
+        # path reuses the explicit distributed gather instead); None falls
+        # back to per-batch dispatch
         self.predict_all = (
             steps_mod.make_predict_all(self.model, self.two_modal, self.dual)
-            if self.device_resident
+            if self.device_resident and self.mesh.devices.size == 1
             else None
         )
 
@@ -489,10 +501,15 @@ class Trainer:
         self.logger.info("Start Training ({})".format(self.cfg.data.task))
         if self.start_epoch:
             self.logger.info("Resuming at epoch %d", self.start_epoch + 1)
-        for epoch in range(self.start_epoch, n):
-            self.run_epoch(epoch)
-        self._save_history()
-        self.flush_checkpoints()
+        try:
+            for epoch in range(self.start_epoch, n):
+                self.run_epoch(epoch)
+        finally:
+            # a crash or tunnel drop mid-run must not lose the device-side
+            # best-epoch snapshot (checkpoint_flush='end') or the history:
+            # flushing is one batched fetch, cheap even on the failure path
+            self._save_history()
+            self.flush_checkpoints()
         # exact-continuation artifact: state as of the END of epoch n, with
         # the epoch clock / best-gate / history bookkeeping in the sidecar.
         # Resuming it reproduces `train(n+k)` exactly (working labels return

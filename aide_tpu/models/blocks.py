@@ -4,8 +4,15 @@ Re-designs the reference block zoo
 (/root/reference/models_singlemodalinput/UNet.py:4-133 and
 /root/reference/models_twomodalinputs/netblocks.py) for TPU: NHWC layout so
 XLA tiles convolutions onto the MXU, bfloat16 compute with float32
-parameters/statistics, and a pluggable norm (BatchNorm with cross-replica
-stat sync on the data axis, or GroupNorm for tiny per-device batches). The
+parameters/statistics, and a pluggable norm (BatchNorm or GroupNorm for
+tiny per-device batches). BatchNorm statistics are GLOBAL-batch under data
+parallelism because the train steps run under jit/GSPMD: the batch-axis
+reductions inside BatchNorm are computed over the full (sharded) batch by
+XLA-inserted collectives, so no `axis_name` wiring is needed or used by the
+model factories (pinned step- and epoch-level by tests/test_dp_equivalence).
+The optional ``axis_name`` field on the blocks exists ONLY for callers that
+execute the model inside `shard_map`/`pmap`, where per-replica locality
+would otherwise break the reference's DataParallel BN semantics. The
 reference's hardcoded ``.cuda()`` in its BAM block (UNet.py:54,
 netblocks.py:115) has no analogue here.
 """
@@ -38,7 +45,9 @@ def maybe_remat(module_cls, enabled: bool, train_argnum: int):
 
 
 class Norm(nn.Module):
-    """Norm factory: 'batch' (synced over `axis_name` replicas) or 'group'."""
+    """Norm factory: 'batch' or 'group'. Batch stats are global under
+    jit/GSPMD (module docstring); `axis_name` is only for shard_map/pmap
+    callers."""
 
     kind: str = "batch"
     groups: int = 8
