@@ -117,6 +117,20 @@ def _register():
 
         @MODELS.register(name)
         def factory(cfg, _variant=variant):
+            if getattr(cfg, "packed", False) and _variant == "plain":
+                # lane-dense packed execution — same variable tree, same
+                # math, faster narrow stages (models/packed.py)
+                from aide_tpu.models.packed import PackedFuseUNet
+
+                return PackedFuseUNet(
+                    num_classes=cfg.num_classes,
+                    base_width=cfg.base_width or 32,
+                    learned_bilinear=cfg.learned_bilinear,
+                    norm=cfg.norm,
+                    group_norm_groups=cfg.group_norm_groups,
+                    compute_dtype=cfg.compute_dtype,
+                    remat=cfg.remat,
+                )
             return FuseUNet(
                 num_classes=cfg.num_classes,
                 base_width=cfg.base_width or 32,

@@ -51,14 +51,34 @@ def log(msg):
     print(f"# {msg}", file=sys.stderr, flush=True)
 
 
-def make_config(batch: int, variant: str = "proposed"):
+# non-CHAOS operating points (VERDICT r2 #7): kidney trainers run a
+# single-modal UNet at 512 px (trainkidney_proposed_mask1.py), breast at
+# 384 px (trainbreast_dataset3_proposed_272cases25labeled.py). The
+# reference publishes no epoch times for them, so vs_baseline is reported
+# against the CHAOS proposed 420 s for scale only.
+TASK_POINTS = {
+    "chaos": dict(model="fuseunet", img=256, two_modal=True,
+                  cases=30, slices=33, test_cases=10),
+    "kidney": dict(model="unet", img=512, two_modal=False,
+                   cases=24, slices=10, test_cases=6),
+    "breast": dict(model="unet", img=384, two_modal=False,
+                   cases=60, slices=5, test_cases=10),
+}
+
+
+def make_config(batch: int, variant: str = "proposed", task: str = "chaos"):
     from aide_tpu.core.config import ModelConfig, TrainConfig
 
+    pt = TASK_POINTS[task]
     cfg = TrainConfig()
-    cfg.model = ModelConfig(name="fuseunet", compute_dtype="bfloat16")
+    cfg.model = ModelConfig(name=pt["model"], compute_dtype="bfloat16")
+    if task == "chaos":
+        # lane-dense packed execution of the narrow FuseUNet stages
+        # (models/packed.py) — numerically identical, measured faster
+        cfg.model.packed = True
     cfg.data.task = "synthetic"
     cfg.data.variant = variant
-    cfg.data.img_size = 256
+    cfg.data.img_size = pt["img"]
     cfg.data.batch_size = batch
     # big eval batches: fewer dispatches over the tunneled link during the
     # per-case re-inference passes (each dispatch costs tens of ms)
@@ -76,23 +96,25 @@ def make_config(batch: int, variant: str = "proposed"):
     return cfg
 
 
-def build_trainer(cfg):
+def build_trainer(cfg, task_name: str = "chaos"):
     from aide_tpu.data.tasks.synthetic import SyntheticTask
     from aide_tpu.engine.trainer import Trainer
 
     # CHAOS flagship operating point: 30 train cases x ~33 slices = 990
     # (984 in the reference), 10 test cases x 30 slices = 300, one labeled
-    # (clean) case, noisy working labels elsewhere
+    # (clean) case, noisy working labels elsewhere. kidney/breast points
+    # use their presets' resolutions/models (TASK_POINTS).
+    pt = TASK_POINTS[task_name]
     task = SyntheticTask(
         root="/tmp/aide_bench_data",
         tempmask_folder=cfg.data.tempmask_folder,
-        two_modal=True,
-        num_cases=30,
-        slices_per_case=33,
+        two_modal=pt["two_modal"],
+        num_cases=pt["cases"],
+        slices_per_case=pt["slices"],
         size=cfg.data.img_size,
         noisy_fraction=0.5,
         clean_cases=1,
-        num_test_cases=10,
+        num_test_cases=pt["test_cases"],
         test_case_offset=100,
         seed=7,
     )
@@ -149,6 +171,8 @@ def time_bare_steps(trainer, cfg, iters=16):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--task", default="chaos", choices=sorted(TASK_POINTS),
+                    help="operating point (model/resolution/dataset size)")
     ap.add_argument("--supervised", action="store_true",
                     help="benchmark the supervised comparison config "
                          "(single net, no TTA/coteach; reference ~300 s)")
@@ -179,18 +203,20 @@ def main() -> int:
     shutil.rmtree("/tmp/aide_bench_ckpt", ignore_errors=True)
 
     variant = "comparison" if args.supervised else "proposed"
-    cfg = make_config(args.batch, variant)
-    log("building trainer (1290 synthetic 256px slices on 1 host core)...")
-    trainer = build_trainer(cfg)
+    cfg = make_config(args.batch, variant, args.task)
+    log(f"building trainer ({args.task} point, decode on 1 host core)...")
+    trainer = build_trainer(cfg, args.task)
     log("trainer built; warmup epoch 0 (compiles train/eval/predict)...")
     trainer.run_epoch(0)
     log("warmup done; timing bare train steps...")
 
     dt, step_flops = time_bare_steps(trainer, cfg)
     baseline = SUPERVISED_BASELINE_S if args.supervised else BASELINE_EPOCH_S
-    step_epoch_s = EPOCH_SLICES * dt / args.batch
+    epoch_slices = EPOCH_SLICES if args.task == "chaos" else len(trainer.train_pipe)
+    step_epoch_s = epoch_slices * dt / args.batch
     step_tflops = step_flops / dt / 1e12 if step_flops else 0.0
     extras = {
+        "task": args.task,
         "batch_size": args.batch,
         "train_step_epoch_seconds": round(step_epoch_s, 2),
         "train_step_tflops_per_s": round(step_tflops, 1),
@@ -198,9 +224,9 @@ def main() -> int:
     }
 
     metric_name = (
-        "chaos_supervised_epoch_seconds"
+        f"{args.task}_supervised_epoch_seconds"
         if args.supervised
-        else "chaos_coteach_epoch_seconds"
+        else f"{args.task}_coteach_epoch_seconds"
     )
     partial.update(
         {

@@ -24,9 +24,18 @@ def main():
     from aide_tpu.models import build_model
     from aide_tpu.ops.schedules import make_optimizer
 
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--packed", action="store_true")
+    ap.add_argument("--tag", default="")
+    args = ap.parse_args()
+    global TRACE_DIR
+    if args.tag:
+        TRACE_DIR = f"/tmp/aide_step_trace_{args.tag}"
     size, batch = 256, 8
     cfg = TrainConfig()
-    cfg.model = ModelConfig(name="fuseunet", compute_dtype="bfloat16")
+    cfg.model = ModelConfig(name="fuseunet", compute_dtype="bfloat16",
+                            packed=args.packed)
     cfg.data.img_size = size
     cfg.data.batch_size = batch
     cfg.data.num_tta_views = 4
@@ -58,7 +67,8 @@ def main():
     print("trace written")
 
     # ---- parse: top ops by self time ----
-    files = glob.glob(TRACE_DIR + "/**/*.xplane.pb", recursive=True)
+    files = sorted(glob.glob(TRACE_DIR + "/**/*.xplane.pb", recursive=True),
+                   key=os.path.getmtime, reverse=True)
     print("xplane files:", files)
     if not files:
         return
@@ -71,7 +81,7 @@ def main():
     for tool in ("framework_op_stats", "op_profile", "hlo_stats"):
         try:
             data_out, _ = rtd.xspace_to_tool_data([files[0]], tool, {})
-            out = f"/tmp/aide_step_{tool}.json"
+            out = f"/tmp/aide_step_{tool}{('_' + args.tag) if args.tag else ''}.json"
             mode = "wb" if isinstance(data_out, bytes) else "w"
             with open(out, mode) as fh:
                 fh.write(data_out)

@@ -33,6 +33,7 @@ NUM_CASES = 18
 CLEAN_CASES = 4
 SLICES_PER_CASE = 8
 MODEL = "unet8"
+IMG_SIZE = 64
 NOISY_FRACTION = 0.9
 NOISE_SHIFT_DIVISOR = 4   # +-16 px shifts at 64 px: corrupted masks barely overlap GT
 SEED = 11
@@ -59,7 +60,7 @@ def build_cfg(stage: str, workdir: str, epochs: int, resume: str = ""):
     cfg.model = ModelConfig(name=MODEL, compute_dtype="bfloat16", norm="batch")
     cfg.data.task = "synthetic"
     cfg.data.variant = "proposed" if stage == "aide" else "comparison"
-    cfg.data.img_size = 64
+    cfg.data.img_size = IMG_SIZE
     cfg.data.batch_size = 8
     cfg.data.eval_batch_size = 8
     cfg.data.num_tta_views = 4
@@ -97,7 +98,7 @@ def make_task(workdir: str, stage: str, num_cases: int):
         tempmask_folder=f"tempmasks_{stage}",
         num_cases=num_cases,
         slices_per_case=SLICES_PER_CASE,
-        size=64,
+        size=IMG_SIZE,
         # pseudo protocol: unlabeled cases start with GT that is then
         # OVERWRITTEN by pretrain-model predictions (apply_pseudo_labels);
         # no artificial corruption
@@ -193,12 +194,30 @@ def run(
 
     num_cases = CLEAN_CASES if stage == "pretrain" else NUM_CASES
     task = make_task(workdir, stage, num_cases)
+    if stage == "ceiling":
+        # supervised on clean GT of every case: the oracle ceiling that
+        # bounds what any label-refinement scheme can reach. Regime gate:
+        # the pseudo protocol only engages when ceiling - naive is large.
+        task.noisy_fraction = 0.0
     cfg = build_cfg(stage, workdir, epochs, resume)
     t0 = time.time()
     trainer = Trainer(cfg, task=task)
     trainer.label_cases = set(task.clean_case_ids())
     if pseudo_from and PROTOCOL == "pseudo":
         apply_pseudo_labels(trainer, pseudo_from)
+    if trainer.dual:
+        # per-refresh label-quality oracle: the working labels must IMPROVE
+        # across refreshes for the regime to be healthy (VERDICT r2 #2)
+        quality_track = []
+        orig_refresh = trainer._refresh_labels
+
+        def tracked_refresh(epoch, traincase):
+            orig_refresh(epoch, traincase)
+            q = label_quality(trainer)
+            quality_track.append({"epoch": epoch + 1, "label_quality": q})
+            print(json.dumps(quality_track[-1]), flush=True)
+
+        trainer._refresh_labels = tracked_refresh
     # evaluate on held-out cases from an independent generator segment
     history = trainer.run(epochs)
     last = history[-1]
@@ -209,6 +228,7 @@ def run(
     quality = label_quality(trainer) if trainer.dual else None
     return {
         **({"final_label_quality": quality} if quality is not None else {}),
+        **({"label_quality_track": quality_track} if trainer.dual else {}),
         "stage": stage,
         "epochs": epochs,
         "final_testcase_dice": max(
@@ -227,7 +247,7 @@ def run(
 
 def main() -> int:
     global STYLE, CLEAN_CASES, NOISE_SHIFT_DIVISOR, PROTOCOL
-    global NUM_CASES, SLICES_PER_CASE, MODEL, SEED
+    global NUM_CASES, SLICES_PER_CASE, MODEL, SEED, IMG_SIZE
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=40)
     # the pretrain stage sees only 4 cases (32 slices, 4 steps/epoch) and
@@ -240,6 +260,9 @@ def main() -> int:
     ap.add_argument("--num-cases", type=int, default=NUM_CASES)
     ap.add_argument("--slices-per-case", type=int, default=SLICES_PER_CASE)
     ap.add_argument("--model", default=MODEL)
+    ap.add_argument("--img-size", type=int, default=IMG_SIZE)
+    ap.add_argument("--ceiling", action="store_true",
+                    help="also run the supervised-on-clean-GT oracle stage")
     ap.add_argument("--seed", type=int, default=SEED,
                     help="synthetic data generator seed (case anatomy)")
     ap.add_argument("--clean-cases", type=int, default=CLEAN_CASES)
@@ -248,6 +271,7 @@ def main() -> int:
 
     STYLE = args.style
     PROTOCOL = args.protocol
+    IMG_SIZE = args.img_size
     NUM_CASES = args.num_cases
     SLICES_PER_CASE = args.slices_per_case
     MODEL = args.model
@@ -257,6 +281,9 @@ def main() -> int:
 
     os.makedirs(args.workdir, exist_ok=True)
     results = {}
+    if args.ceiling:
+        results["ceiling"] = run("ceiling", args.workdir, args.epochs)
+        print(json.dumps(results["ceiling"]), flush=True)
     results["pretrain"] = run("pretrain", args.workdir, args.pretrain_epochs)
     print(json.dumps(results["pretrain"]), flush=True)
 
@@ -287,6 +314,9 @@ def main() -> int:
         "noise_shift_divisor": NOISE_SHIFT_DIVISOR,
         "clean_cases": CLEAN_CASES,
         "num_cases": NUM_CASES,
+        **({"ceiling_best_dice": results["ceiling"]["best_testcase_dice"]}
+           if "ceiling" in results else {}),
+        "img_size": IMG_SIZE,
         "pretrain_best_dice": results["pretrain"]["best_testcase_dice"],
         "naive_best_dice": results["naive"]["best_testcase_dice"],
         "aide_best_dice": results["aide"]["best_testcase_dice"],
