@@ -117,3 +117,38 @@ def test_checkpoint_interchange(tmp_path, rng):
     out_k = packed.apply(v, m1, m1, train=False)
     out_p = plain.apply(v, m1, m1, train=False)
     np.testing.assert_allclose(out_p, out_k, rtol=1e-4, atol=1e-4)
+
+
+def test_packed_remat_matches(rng):
+    """remat-wrapped packed blocks are the same function (checkpointing
+    must not change values or the variable tree)."""
+    kw = dict(
+        num_classes=2, base_width=8, norm="batch", group_norm_groups=4,
+        compute_dtype="float32",
+    )
+    a = PackedFuseUNet(**kw)
+    b = PackedFuseUNet(remat=True, **kw)
+    x = jnp.zeros((1, 32, 32, 3))
+    v = a.init(jax.random.key(4), x, x, train=False)
+    m = jnp.asarray(np.random.default_rng(1).normal(size=(2, 32, 32, 3)), jnp.float32)
+    out_a = a.apply(v, m, m, train=False)
+    out_b = b.apply(v, m, m, train=False)
+    np.testing.assert_allclose(out_a, out_b, rtol=1e-5, atol=1e-6)
+
+
+def test_packed_under_net_vmap(rng):
+    """The dual-net stacked-params vmap (engine/steps.py) over the packed
+    model equals per-net application."""
+    plain, packed = _models("batch")
+    x = jnp.zeros((1, 32, 32, 3))
+    v1 = packed.init(jax.random.key(5), x, x, train=False)
+    v2 = packed.init(jax.random.key(6), x, x, train=False)
+    stacked = jax.tree_util.tree_map(lambda a, b: jnp.stack([a, b]), v1, v2)
+    m = jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
+
+    def fwd(v):
+        return packed.apply(v, m, m, train=False)
+
+    outs = jax.vmap(fwd)(stacked)
+    np.testing.assert_allclose(outs[0], fwd(v1), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(outs[1], fwd(v2), rtol=1e-5, atol=1e-6)
