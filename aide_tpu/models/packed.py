@@ -258,11 +258,12 @@ class _PackedBatchNorm(nn.Module):
         )
         axes = (0, 1, 2, 4)
         xm = x5 if mask is None else x5 * mask.astype(x5.dtype)
+        # stats accumulate in float32 OR the input dtype if wider (the f64
+        # exactness harness relies on the promotion)
+        sdt = jnp.promote_types(x5.dtype, jnp.float32)
         if train:
-            mean = jnp.sum(xm, axis=axes, dtype=jnp.float32) / count
-            s2 = jnp.sum(
-                jnp.square(xm.astype(jnp.float32)), axis=axes
-            )
+            mean = jnp.sum(xm, axis=axes, dtype=sdt) / count
+            s2 = jnp.sum(jnp.square(xm.astype(sdt)), axis=axes)
             var = s2 / count - jnp.square(mean)
             if not self.is_initializing():
                 ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean
@@ -270,7 +271,8 @@ class _PackedBatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
         mul = jax.lax.rsqrt(var + 1e-5) * scale
-        y = x5.astype(jnp.float32) * mul[:, None] + (bias - mean * mul)[:, None]
+        ndt = jnp.promote_types(x5.dtype, jnp.float32)
+        y = x5.astype(ndt) * mul[:, None] + (bias - mean * mul)[:, None]
         return y.astype(self.dtype)
 
 
@@ -295,14 +297,15 @@ class _PackedGroupNorm(nn.Module):
         xg = xm.reshape(b, hb, wb, g, c // g, p)
         n = (count / b) * (c // g)
         axes = (1, 2, 4, 5)
-        mean = jnp.sum(xg, axis=axes, dtype=jnp.float32) / n        # (b, g)
-        s2 = jnp.sum(jnp.square(xg.astype(jnp.float32)), axis=axes)
+        sdt = jnp.promote_types(x5.dtype, jnp.float32)
+        mean = jnp.sum(xg, axis=axes, dtype=sdt) / n                # (b, g)
+        s2 = jnp.sum(jnp.square(xg.astype(sdt)), axis=axes)
         var = s2 / n - jnp.square(mean)
         mul = jax.lax.rsqrt(var + 1e-6)                             # (b, g)
         mulc = jnp.repeat(mul, c // g, axis=1) * scale              # (b, c)
         addc = bias - jnp.repeat(mean * mul, c // g, axis=1) * scale
         y = (
-            x5.astype(jnp.float32) * mulc[:, None, None, :, None]
+            x5.astype(sdt) * mulc[:, None, None, :, None]
             + addc[:, None, None, :, None]
         )
         return y.astype(self.dtype)
@@ -531,3 +534,102 @@ class PackedFuseUNet(nn.Module):
         )
         logits = unpack(logits_p.astype(jnp.float32), 2, 2)
         return logits
+
+
+class _PackedDownBlock1(nn.Module):
+    """UNet's first DownBlock (no pool) with the ConvBlock packed.
+    Variable tree == plain DownBlock (child ConvBlock_0)."""
+
+    features: int
+    cin: int
+    h: int
+    w: int
+    norm: str = "batch"
+    groups: int = 8
+    dtype: Dtype = jnp.bfloat16
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        Block = maybe_remat(PackedConvBlock, self.remat, 2)
+        return Block(
+            self.features, self.cin, self.h, self.w,
+            norm=self.norm, groups=self.groups, dtype=self.dtype,
+            name="ConvBlock_0",
+        )(x, train)
+
+
+class PackedUNet(nn.Module):
+    """UNet (no spatial attention) with lane-dense packed full-resolution
+    stages — the same transform as PackedFuseUNet for the single-modal
+    family (kidney/breast presets: width 64 at 512/384 px, where the C=w
+    stages fill half the lanes and carry 4x the pixels of the CHAOS
+    point). Variable tree is IDENTICAL to models.unet.UNet."""
+
+    num_classes: int = 2
+    base_width: int = 64
+    learned_bilinear: bool = False
+    norm: str = "batch"
+    group_norm_groups: int = 8
+    axis_name: Optional[str] = None
+    compute_dtype: str = "bfloat16"
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        from aide_tpu.models.blocks import DownBlock
+
+        dtype = blocks.resolve_dtype(self.compute_dtype)
+        w = self.base_width
+        widths = [w, 2 * w, 4 * w, 8 * w, 16 * w]
+        common = dict(
+            norm=self.norm,
+            groups=self.group_norm_groups,
+            axis_name=self.axis_name,
+            dtype=dtype,
+        )
+        Down = maybe_remat(DownBlock, self.remat, 2)
+        Up = maybe_remat(UpBlock, self.remat, 3)
+        B, H, W, _ = x.shape
+        if H % 16 or W % 16:
+            raise ValueError("PackedUNet needs H, W divisible by 16")
+
+        xp = pack(x.astype(dtype), 2, 2)
+        x1p = _PackedDownBlock1(
+            w, 3, H, W, norm=self.norm, groups=self.group_norm_groups,
+            dtype=dtype, remat=self.remat, name="down_block1",
+        )(xp, train)
+
+        skips = [x1p]
+        # level 2 consumes the phase-pooled (= 2x2 max-pooled) level-1
+        # output, already at half res, so its DownBlock skips the pool
+        y = phase_pool(x1p, w)
+        for level in (1, 2, 3, 4):
+            y = Down(
+                widths[level], pool=level > 1,
+                name=f"down_block{level + 1}", **common,
+            )(y, train)
+            skips.append(y)
+
+        out = skips[-1]
+        for level in (3, 2, 1):
+            out = Up(
+                skip_features=widths[level],
+                features=widths[level],
+                learned_bilinear=self.learned_bilinear,
+                name=f"up_block{4 - level}",
+                **common,
+            )(skips[level], out, train)
+
+        outp = _PackedUpBlock4(
+            features=w, h=H, w=W, learned_bilinear=self.learned_bilinear,
+            norm=self.norm, groups=self.group_norm_groups, dtype=dtype,
+            remat=self.remat, name="up_block4",
+        )(x1p, out, train)
+
+        kh, bh = _ConvParams(1, 1, w, self.num_classes, name="Conv_0")()
+        logits_p = struct_conv(
+            outp, kh, bh, (2, 2), (2, 2), (0, 0), (0, 0),
+            (H // 2, W // 2), dtype, pad=0,
+        )
+        return unpack(logits_p.astype(jnp.float32), 2, 2)

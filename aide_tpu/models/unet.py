@@ -90,6 +90,20 @@ def _register_width_variants():
     def make(name, width, sa=False):
         @MODELS.register(name)
         def factory(cfg):
+            if getattr(cfg, "packed", False) and not sa:
+                # lane-dense packed execution — same variable tree, same
+                # math, faster full-resolution stages (models/packed.py)
+                from aide_tpu.models.packed import PackedUNet
+
+                return PackedUNet(
+                    num_classes=cfg.num_classes,
+                    base_width=cfg.base_width or width,
+                    learned_bilinear=cfg.learned_bilinear,
+                    norm=cfg.norm,
+                    group_norm_groups=cfg.group_norm_groups,
+                    compute_dtype=cfg.compute_dtype,
+                    remat=cfg.remat,
+                )
             return UNet(
                 num_classes=cfg.num_classes,
                 base_width=cfg.base_width or width,
