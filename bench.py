@@ -72,10 +72,9 @@ def make_config(batch: int, variant: str = "proposed", task: str = "chaos"):
     pt = TASK_POINTS[task]
     cfg = TrainConfig()
     cfg.model = ModelConfig(name=pt["model"], compute_dtype="bfloat16")
-    if task == "chaos":
-        # lane-dense packed execution of the narrow FuseUNet stages
-        # (models/packed.py) — numerically identical, measured faster
-        cfg.model.packed = True
+    # lane-dense packed execution of the narrow full-resolution stages
+    # (models/packed.py) — numerically identical, measured faster
+    cfg.model.packed = True
     cfg.data.task = "synthetic"
     cfg.data.variant = variant
     cfg.data.img_size = pt["img"]

@@ -43,3 +43,24 @@ def test_auto_method_resolution():
     # on the CPU test backend 'auto' must resolve to the XLA shear path
     assert warp._resolve_method("auto") == "shear"
     assert warp._resolve_method("gather") == "gather"
+
+
+@pytest.mark.slow
+def test_pallas_warp_512px_matches_shear_reference():
+    """kidney's 512 px operating point: one (H, W) f32 slice is 1 MB —
+    4x the CHAOS case — and must still match the pure-jnp shear warp
+    (VERDICT r2 #7: the kernel had only been validated at <=256 px)."""
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(2, 64, 64, 1)).astype(np.float32)
+    imgs = jnp.asarray(
+        np.repeat(np.repeat(base, 8, axis=1), 8, axis=2)
+        + 0.01 * rng.normal(size=(2, 512, 512, 1)).astype(np.float32)
+    )
+    degs = jnp.asarray([17.0, -41.0], jnp.float32)
+    flips = jnp.asarray([0, 1], jnp.int32)
+    fill = jnp.zeros((2, 1), jnp.float32)
+    ref = np.asarray(warp.augment(imgs, degs, flips, fill, method="shear"))
+    out = np.asarray(
+        warp_rotate_flip(imgs, degs, flips, fill, interpret=True)
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
