@@ -104,15 +104,35 @@ class SyntheticTask(Task):
         crng = np.random.default_rng(
             ((self.seed * 7 + 13) * 999983 + case * 613) % (2**31)
         )
-        r0 = s * (0.11 + 0.09 * crng.random())
-        coef = crng.normal(0.0, 0.16, size=4)          # harmonics k=2..5
-        phase = crng.uniform(0, 2 * np.pi, size=4)
-        cy0 = s * (0.30 + 0.40 * crng.random())
-        cx0 = s * (0.30 + 0.40 * crng.random())
-        contrast = 14.0 + 12.0 * crng.random()         # vs noise sigma 15
-        base = 70.0 + 30.0 * crng.random()
-        n_distract = 2
-        d_r = s * (0.05 + 0.05 * crng.random(n_distract))
+        if self.style == "xhard":
+            # 'xhard': much wider PER-CASE appearance/shape diversity, so a
+            # single labeled case teaches far less — the pretrain<<ceiling
+            # regime the pseudo-label (limited-annotation) protocol needs.
+            # ('hard' keeps its exact draw order below for reproducibility.)
+            r0 = s * (0.07 + 0.15 * crng.random())
+            amp = 0.08 + 0.22 * crng.random()
+            coef = crng.normal(0.0, amp, size=4)       # harmonics k=2..5
+            phase = crng.uniform(0, 2 * np.pi, size=4)
+            cy0 = s * (0.30 + 0.40 * crng.random())
+            cx0 = s * (0.30 + 0.40 * crng.random())
+            contrast = 8.0 + 20.0 * crng.random()      # vs per-case noise
+            base = 60.0 + 50.0 * crng.random()
+            noise_sigma = 10.0 + 12.0 * crng.random()
+            n_distract = int(crng.integers(1, 5))
+            ecc = 0.5 + 0.4 * crng.random()            # some nearly fg-like
+            d_r = s * (0.05 + 0.07 * crng.random(n_distract))
+        else:
+            r0 = s * (0.11 + 0.09 * crng.random())
+            coef = crng.normal(0.0, 0.16, size=4)      # harmonics k=2..5
+            phase = crng.uniform(0, 2 * np.pi, size=4)
+            cy0 = s * (0.30 + 0.40 * crng.random())
+            cx0 = s * (0.30 + 0.40 * crng.random())
+            contrast = 14.0 + 12.0 * crng.random()     # vs noise sigma 15
+            base = 70.0 + 30.0 * crng.random()
+            noise_sigma = 15.0
+            n_distract = 2
+            ecc = 0.8
+            d_r = s * (0.05 + 0.05 * crng.random(n_distract))
 
         yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
         cy = cy0 + rng.normal(0, 0.03 * s)
@@ -136,20 +156,20 @@ class SyntheticTask(Task):
         for d in range(n_distract):
             dcy = s * rng.uniform(0.1, 0.9)
             dcx = s * rng.uniform(0.1, 0.9)
-            ell = ((yy - dcy) / d_r[d]) ** 2 + ((xx - dcx) / (0.8 * d_r[d])) ** 2
+            ell = ((yy - dcy) / d_r[d]) ** 2 + ((xx - dcx) / (ecc * d_r[d])) ** 2
             img += contrast * (ell <= 1.0) * (mask == 0)
         # smooth intensity bias field (gain inhomogeneity)
         gy, gx, gq = rng.normal(0, 1.0, size=3)
         ny, nx = (yy / s - 0.5), (xx / s - 0.5)
         img += 12.0 * (gy * ny + gx * nx + gq * (ny * nx) * 2.0)
-        img += 15.0 * rng.normal(size=(s, s))
+        img += noise_sigma * rng.normal(size=(s, s))
         return img, mask
 
     def _gen(self, case: int, sl: int):
         rng = np.random.default_rng(
             (self.seed * 1000003 + case * 1009 + sl) % (2**31)
         )
-        if self.style == "hard":
+        if self.style in ("hard", "xhard"):
             img, mask = self._gen_hard(case, sl, rng)
             img = np.clip(img, 0, 255).astype(np.float32)
             noisy = mask

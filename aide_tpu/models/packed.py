@@ -163,6 +163,132 @@ def struct_conv(
     return y
 
 
+# ----------------------- fused bilinear-upsample conv -----------------------
+#
+# UpsampleConv's resize is LINEAR, so conv3x3(upsample2x(x)) collapses into
+# ONE conv that reads the half-res input directly and emits the aligned
+# (2, 2)-packed output. jax.image.resize(2x, bilinear, half-pixel centers)
+# is, per dimension, with xt = edge-pad(x, 1):
+#
+#   up[2k]   = 0.25*xt[k-1] + 0.75*xt[k]
+#   up[2k+1] = 0.75*xt[k]   + 0.25*xt[k+1]
+#
+# (verified exact to 1e-15 in float64 against jax.image.resize). Folding
+# these weights into the 3x3 kernel gives a dense 3x3 block conv over the
+# edge-padded half-res input — 9/16 the MAC count of the stride-2 4x4
+# structured conv over the materialized full-res resize it replaces, and
+# the resize (two dot_generals + a layout copy each way, fwd and bwd)
+# disappears entirely. The conv3x3's SAME zero padding lives on the
+# FULL-RES grid, which no half-res padding can express, so the four edge
+# rows/cols of the output get explicit 1-D correction convs (+ rank-0
+# corner add-backs by inclusion-exclusion).
+
+# flipped False only by A/B experiments — the fused path is the default
+FUSE_UPSAMPLE = True
+
+
+@lru_cache(maxsize=None)
+def _up_tap_table() -> np.ndarray:
+    """w[t, T, p]: weight with which original 3-tap index t (0..2 for
+    offsets -1..1 on the full-res grid) lands on half-res tap T (0..2 for
+    block offsets -1..1 over the edge-padded input) for output phase p."""
+    w = np.zeros((3, 3, 2), np.float32)
+    # phase 0 (even output pixel j=2b): taps hit up[2b-1], up[2b], up[2b+1]
+    w[0, 0, 0] = 0.75
+    w[1, 0, 0] = 0.25
+    w[0, 1, 0] = 0.25
+    w[1, 1, 0] = 0.75
+    w[2, 1, 0] = 0.75
+    w[2, 2, 0] = 0.25
+    # phase 1 (odd output pixel j=2b+1): taps hit up[2b], up[2b+1], up[2b+2]
+    w[0, 0, 1] = 0.25
+    w[0, 1, 1] = 0.75
+    w[1, 1, 1] = 0.75
+    w[2, 1, 1] = 0.25
+    w[1, 2, 1] = 0.25
+    w[2, 2, 1] = 0.75
+    return w
+
+
+@lru_cache(maxsize=None)
+def _up_placement_2d() -> np.ndarray:
+    """M[ty, tx, Ty, Tx, p] with p = py*2 + px flattened row-major."""
+    w = _up_tap_table()
+    return np.einsum("yYa,xXb->yxYXab", w, w).reshape(3, 3, 3, 3, 4)
+
+
+def _edge_conv(row, kernel, dtype):
+    """1-D valid conv of (B, L+2, Cin) with (3, Cin, Cout2) -> (B, L, Cout2)."""
+    x = row[:, None].astype(dtype)                       # (B, 1, L+2, Cin)
+    k = kernel[None].astype(dtype)                       # (1, 3, Cin, Cout2)
+    dn = jax.lax.conv_dimension_numbers(x.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
+    return jax.lax.conv_general_dilated(
+        x, k, (1, 1), ((0, 0), (0, 0)), dimension_numbers=dn
+    )[:, 0]
+
+
+def upsample_struct_conv(
+    x: jnp.ndarray,                # (B, N, M, Cin) half-res plain input
+    kernel: jnp.ndarray,           # original (3, 3, Cin, Cout) fp32 param
+    bias: Optional[jnp.ndarray],
+    dtype: Dtype,
+) -> jnp.ndarray:
+    """conv3x3_SAME(upsample2x_bilinear(x)) emitted directly as the aligned
+    channel-major packed tensor (B, N, M, Cout*4) — the resize is folded
+    into the conv kernel (module comment above). Numerically identical to
+    the two-step path (float64-exact; pinned by tests/test_packed.py)."""
+    kh, kw, cin, cout = kernel.shape
+    assert (kh, kw) == (3, 3)
+    B, N, M, _ = x.shape
+    M2 = jnp.asarray(_up_placement_2d(), dtype)
+    big = jnp.einsum(
+        "abio,abyxp->yxiop", kernel.astype(dtype), M2
+    ).reshape(3, 3, cin, cout * 4)
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    dn = jax.lax.conv_dimension_numbers(
+        xp.shape, big.shape, ("NHWC", "HWIO", "NHWC")
+    )
+    y = jax.lax.conv_general_dilated(
+        xp.astype(dtype), big, (1, 1), ((0, 0), (0, 0)), dimension_numbers=dn
+    )
+
+    # ---- full-res zero-padding corrections on the four output edges ----
+    # The interior kernel assumes every full-res tap is in-image; the taps
+    # the SAME conv zero-drops live at full-res rows/cols -1 and 2N/2M and
+    # are reached only from (block 0, phase 0, t=-1) / (block last, phase 1,
+    # t=+1) per dim. Each dropped contribution is a 1-D composed conv of a
+    # single edge row/col of x; the four ring corners are subtracted by both
+    # adjacent strips and get added back once (inclusion-exclusion).
+    w = jnp.asarray(_up_tap_table(), dtype)
+    kd = kernel.astype(dtype)
+
+    def strip_kernel(k1d):                       # (3, Cin, Cout) 1-D taps
+        return jnp.einsum("tio,tTp->Tiop", k1d, w).reshape(3, cin, cout * 2)
+
+    c_top = _edge_conv(xp[:, 1, :, :], strip_kernel(kd[0]), dtype)
+    c_bot = _edge_conv(xp[:, -2, :, :], strip_kernel(kd[2]), dtype)
+    c_left = _edge_conv(xp[:, :, 1, :], strip_kernel(kd[:, 0]), dtype)
+    c_right = _edge_conv(xp[:, :, -2, :], strip_kernel(kd[:, 2]), dtype)
+
+    y6 = y.reshape(B, N, M, cout, 2, 2)          # (..., c, py, px)
+    y6 = y6.at[:, 0, :, :, 0, :].add(-c_top.reshape(B, M, cout, 2))
+    y6 = y6.at[:, -1, :, :, 1, :].add(-c_bot.reshape(B, M, cout, 2))
+    y6 = y6.at[:, :, 0, :, :, 0].add(-c_left.reshape(B, N, cout, 2))
+    y6 = y6.at[:, :, -1, :, :, 1].add(-c_right.reshape(B, N, cout, 2))
+
+    xe = x.astype(dtype)
+    y6 = y6.at[:, 0, 0, :, 0, 0].add(xe[:, 0, 0] @ kd[0, 0])
+    y6 = y6.at[:, 0, -1, :, 0, 1].add(xe[:, 0, -1] @ kd[0, 2])
+    y6 = y6.at[:, -1, 0, :, 1, 0].add(xe[:, -1, 0] @ kd[2, 0])
+    y6 = y6.at[:, -1, -1, :, 1, 1].add(xe[:, -1, -1] @ kd[2, 2])
+    y = y6.reshape(B, N, M, cout * 4)
+
+    if bias is not None:
+        y = y + jnp.repeat(bias.astype(dtype), 4)
+    return y
+
+
 @lru_cache(maxsize=None)
 def _phase_mask(hb: int, wb: int, rh: int, rw: int, oy: int, ox: int,
                 h: int, w: int):
@@ -386,10 +512,12 @@ class PackedConvBlock(nn.Module):
 
 
 class _PackedUpsampleConv(nn.Module):
-    """UpsampleConv whose conv consumes the PLAIN bilinear-resize output
-    directly and emits the aligned packed grid (stride-2 4x4 structured
-    conv) — no pack transpose is materialized. Norm+relu run lane-dense on
-    the packed output (per-channel norms commute with packing exactly).
+    """UpsampleConv emitted as ONE conv: the bilinear 2x resize is linear,
+    so it folds into the 3x3 kernel (upsample_struct_conv) — the conv reads
+    the half-res input directly and emits the aligned packed grid with no
+    full-res resize materialized, at 9/16 the MACs of the stride-2 4x4
+    structured conv over the resize it replaces. Norm+relu run lane-dense
+    on the packed output (per-channel norms commute with packing exactly).
     Variable tree == plain UpsampleConv (Conv_0, Norm_0/...)."""
 
     features: int
@@ -402,12 +530,15 @@ class _PackedUpsampleConv(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         f = self.features
-        up = blocks.upsample2x_bilinear(x.astype(self.dtype))
         k, b = _ConvParams(3, 3, x.shape[-1], f, name="Conv_0")()
-        y = struct_conv(
-            up, k, b, (1, 1), (2, 2), (0, 0), (0, 0),
-            (self.h // 2, self.w // 2), self.dtype,
-        )
+        if FUSE_UPSAMPLE:
+            y = upsample_struct_conv(x, k, b, self.dtype)
+        else:
+            up = blocks.upsample2x_bilinear(x.astype(self.dtype))
+            y = struct_conv(
+                up, k, b, (1, 1), (2, 2), (0, 0), (0, 0),
+                (self.h // 2, self.w // 2), self.dtype,
+            )
         y5 = y.reshape(y.shape[:3] + (f, 4))
         y5 = PackedNorm(self.norm, self.groups, f, self.dtype, name="Norm_0")(
             y5, None, y.shape[0] * self.h * self.w, train

@@ -255,7 +255,7 @@ def main() -> int:
     ap.add_argument("--pretrain-epochs", type=int, default=60)
     ap.add_argument("--workdir", default="/tmp/aide_synth_exp")
     ap.add_argument("--out", default="")
-    ap.add_argument("--style", default="ellipse", choices=("ellipse", "hard"))
+    ap.add_argument("--style", default="ellipse", choices=("ellipse", "hard", "xhard"))
     ap.add_argument("--protocol", default="shift", choices=("shift", "pseudo"))
     ap.add_argument("--num-cases", type=int, default=NUM_CASES)
     ap.add_argument("--slices-per-case", type=int, default=SLICES_PER_CASE)

@@ -285,3 +285,34 @@ def test_unet_registry_builds_packed():
     assert isinstance(build_model(cfg), PackedUNet)
     cfg_sa = ModelConfig(name="unetsa", packed=True, compute_dtype="float32")
     assert not isinstance(build_model(cfg_sa), PackedUNet)
+
+
+def test_fused_upsample_conv_exact(rng):
+    """upsample_struct_conv (resize folded into the kernel) == resize then
+    stride-2 structured conv, including the four zero-padding edge
+    corrections and corner add-backs, for odd and even extents."""
+    from aide_tpu.models import blocks as blocks_mod
+    from aide_tpu.models import packed as packed_mod
+
+    for n, m, cin, cout in [(8, 8, 5, 4), (7, 9, 3, 2), (4, 6, 2, 3)]:
+        x = jnp.asarray(rng.normal(size=(2, n, m, cin)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(3, 3, cin, cout)), jnp.float32)
+        b = jnp.asarray(rng.normal(size=(cout,)), jnp.float32)
+        up = blocks_mod.upsample2x_bilinear(x)
+        ref = packed_mod.struct_conv(
+            up, k, b, (1, 1), (2, 2), (0, 0), (0, 0), (n, m), jnp.float32
+        )
+        got = packed_mod.upsample_struct_conv(x, k, b, jnp.float32)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                                   atol=2e-4, rtol=2e-4)
+        gr = jax.grad(
+            lambda kk: jnp.sum(jnp.sin(packed_mod.struct_conv(
+                blocks_mod.upsample2x_bilinear(x), kk, b,
+                (1, 1), (2, 2), (0, 0), (0, 0), (n, m), jnp.float32)))
+        )(k)
+        gg = jax.grad(
+            lambda kk: jnp.sum(jnp.sin(
+                packed_mod.upsample_struct_conv(x, kk, b, jnp.float32)))
+        )(k)
+        np.testing.assert_allclose(np.asarray(gr), np.asarray(gg),
+                                   atol=2e-3, rtol=2e-3)
