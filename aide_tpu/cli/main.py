@@ -135,9 +135,10 @@ def cmd_eval(args) -> int:
     pipe = SlicePipeline(
         task, specs, cfg.data.img_size, cfg.data.data_mean, cfg.data.data_std
     )
-    if cfg.data.device_cache == "on" or (
-        cfg.data.device_cache == "auto" and len(jax.devices()) == 1
-    ):
+    # same policy as Trainer (engine/trainer.py): on/auto both enable the
+    # HBM cache. CLI inference is a single jit program on the default
+    # device, so no mesh is passed — the cache commits to that device.
+    if cfg.data.device_cache in ("on", "auto"):
         pipe.to_device()
     cases = (
         task.load_case_list(cfg.data.testcase_csv)
@@ -216,9 +217,9 @@ def cmd_predict(args) -> int:
     pipe = SlicePipeline(
         task, specs, cfg.data.img_size, cfg.data.data_mean, cfg.data.data_std
     )
-    if cfg.data.device_cache == "on" or (
-        cfg.data.device_cache == "auto" and len(jax.devices()) == 1
-    ):
+    # same policy as Trainer: on/auto enable the HBM cache (single-device
+    # inference program, so no mesh — see the eval command above)
+    if cfg.data.device_cache in ("on", "auto"):
         pipe.to_device()
     model = build_model(cfg.model)
     s = cfg.data.img_size

@@ -51,7 +51,9 @@ class ModelConfig:
     # lane-dense space-to-depth execution of the narrow stages
     # (models/packed.py): numerically the same network with the same
     # checkpoint format, ~25-30% faster steps on TPU at base_width 32.
-    # Supported for the plain fuseunet variant; other models ignore it.
+    # Supported for the plain fuseunet variant and the no-attention UNet
+    # widths (needs H, W divisible by 16 and resize+conv upsampling);
+    # attention variants (unetsa/.../fuseunet_sa*) ignore it.
     packed: bool = False
 
 

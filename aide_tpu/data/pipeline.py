@@ -262,13 +262,22 @@ class SlicePipeline:
                         sig.append("?")
                 return ",".join(sig)
 
-            key = hashlib.sha1(
+            # two-part key: a stable identity (which dataset/resolution)
+            # and a volatile content signature. A changed signature writes
+            # a NEW file and prunes the stale siblings of the same
+            # identity, so re-annotated sources don't accumulate
+            # multi-hundred-MB dead npz files in cache_dir.
+            id_key = hashlib.sha1(
                 "|".join(
-                    [repr(s) + stat_sig(s) for s in self.specs]
+                    [repr(s) for s in self.specs]
                     + [str(img_size), str(data_mean), str(data_std)]
                 ).encode()
             ).hexdigest()[:16]
-            cache_file = os.path.join(cache_dir, f"decode_{key}.npz")
+            stat_key = hashlib.sha1(
+                "|".join(stat_sig(s) for s in self.specs).encode()
+            ).hexdigest()[:16]
+            self._cache_prefix = os.path.join(cache_dir, f"decode_{id_key}_")
+            cache_file = f"{self._cache_prefix}{stat_key}.npz"
 
         n_mod = 2 if task.two_modal else 1
         # uint8 image cache + per-image affine normalization coefficients:
@@ -317,6 +326,13 @@ class SlicePipeline:
 
         if cache_file:
             os.makedirs(cache_dir, exist_ok=True)
+            import glob
+
+            for stale in glob.glob(f"{self._cache_prefix}*.npz"):
+                try:
+                    os.remove(stale)
+                except OSError:
+                    pass
             arrays = {"targets": self.targets}
             for m in range(n_mod):
                 arrays[f"images{m}"] = self.images[m]

@@ -620,12 +620,15 @@ class PackedFuseUNet(nn.Module):
         if H % 16 or W % 16:
             raise ValueError("PackedFuseUNet needs H, W divisible by 16")
 
-        m1 = pack(modal1.astype(dtype), 2, 2)   # (B, H/2, W/2, 12)
+        m1 = pack(modal1.astype(dtype), 2, 2)   # (B, H/2, W/2, cin*4)
         m2 = pack(modal2.astype(dtype), 2, 2)
 
         # ---- level 1 (C=w @ full res): packed ----
-        y1 = PBlock(w, 3, H, W, name="modal1_block1", **pcommon)(m1, train)
-        x1 = PBlock(w, 3, H, W, name="modal2_block1", **pcommon)(m2, train)
+        # cin inferred from the input, like plain nn.Conv does
+        y1 = PBlock(w, modal1.shape[-1], H, W, name="modal1_block1",
+                    **pcommon)(m1, train)
+        x1 = PBlock(w, modal2.shape[-1], H, W, name="modal2_block1",
+                    **pcommon)(m2, train)
         f1p = jnp.concatenate([y1, x1], axis=-1)   # packed, channels (2w)*4
 
         # ---- levels 2-5: plain modules (level 2 measured no win packed) ----
@@ -652,9 +655,13 @@ class PackedFuseUNet(nn.Module):
             )(fused[level], out, train)
 
         # ---- up_block4 (C=2w @ full res): packed ----
-        outp = _PackedUpBlock4(
+        # remat the WHOLE up-block as one unit (upsample-conv included),
+        # matching the plain model's UpBlock remat boundary — the full-res
+        # upsample activations are the network's peak-memory stage
+        PUp = maybe_remat(_PackedUpBlock4, self.remat, 3)
+        outp = PUp(
             features=2 * w, h=H, w=W, learned_bilinear=self.learned_bilinear,
-            remat=self.remat, name="up_block4", **pcommon,
+            remat=False, name="up_block4", **pcommon,
         )(f1p, out, train)
 
         # ---- 1x1 head on the packed tensor (block-diagonal over phases) ----
@@ -727,7 +734,8 @@ class PackedUNet(nn.Module):
 
         xp = pack(x.astype(dtype), 2, 2)
         x1p = _PackedDownBlock1(
-            w, 3, H, W, norm=self.norm, groups=self.group_norm_groups,
+            w, x.shape[-1], H, W, norm=self.norm,
+            groups=self.group_norm_groups,
             dtype=dtype, remat=self.remat, name="down_block1",
         )(xp, train)
 
@@ -752,10 +760,11 @@ class PackedUNet(nn.Module):
                 **common,
             )(skips[level], out, train)
 
-        outp = _PackedUpBlock4(
+        PUp = maybe_remat(_PackedUpBlock4, self.remat, 3)
+        outp = PUp(
             features=w, h=H, w=W, learned_bilinear=self.learned_bilinear,
             norm=self.norm, groups=self.group_norm_groups, dtype=dtype,
-            remat=self.remat, name="up_block4",
+            remat=False, name="up_block4",
         )(x1p, out, train)
 
         kh, bh = _ConvParams(1, 1, w, self.num_classes, name="Conv_0")()

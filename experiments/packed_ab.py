@@ -45,7 +45,10 @@ def build(packed: bool, size=256, batch=8):
     return step, state, data
 
 
-def bench(packed: bool, iters: int):
+def bench(packed: bool, iters: int, fuse_upsample: bool = True):
+    from aide_tpu.models import packed as packed_mod
+
+    packed_mod.FUSE_UPSAMPLE = fuse_upsample
     step, state, data = build(packed)
     key, rate = jax.random.key(0), jnp.asarray(0.5)
     t0 = time.time()
@@ -75,6 +78,15 @@ def main():
         print(
             f"speedup: {t_plain / t_packed:.3f}x  "
             f"(loss delta after {iters} steps: {abs(l_plain - l_packed):.5f})"
+        )
+    if which == "fuse":
+        # A/B the folded-resize UpsampleConv inside the packed model
+        t_unfused, l_a = bench(True, iters, fuse_upsample=False)
+        t_fused, l_b = bench(True, iters, fuse_upsample=True)
+        print(
+            f"fused-upsample speedup: {t_unfused / t_fused:.3f}x "
+            f"({t_unfused*1e3:.1f} -> {t_fused*1e3:.1f} ms; "
+            f"loss delta {abs(l_a - l_b):.5f})"
         )
 
 
