@@ -94,7 +94,7 @@ class SyntheticTask(Task):
                     out = out & sh
         return out.astype(np.uint8)
 
-    def _gen_hard(self, case: int, sl: int, rng):
+    def _gen_hard(self, case: int, sl: int, rng, geom_out: Optional[dict] = None):
         """Star-convex shape families, low contrast, bias field, distractors.
 
         Per-case anatomy (shape harmonics, size, appearance) comes from a
@@ -153,24 +153,61 @@ class SyntheticTask(Task):
         img += contrast * mask
         # distractor blobs: same intensity bump, rounder shape, background
         # label — foreground must be told apart by SHAPE, not brightness
+        d_masks = []
         for d in range(n_distract):
             dcy = s * rng.uniform(0.1, 0.9)
             dcx = s * rng.uniform(0.1, 0.9)
             ell = ((yy - dcy) / d_r[d]) ** 2 + ((xx - dcx) / (ecc * d_r[d])) ** 2
-            img += contrast * (ell <= 1.0) * (mask == 0)
+            d_masks.append((ell <= 1.0) & (mask == 0))
+            img += contrast * d_masks[-1]
         # smooth intensity bias field (gain inhomogeneity)
         gy, gx, gq = rng.normal(0, 1.0, size=3)
         ny, nx = (yy / s - 0.5), (xx / s - 0.5)
         img += 12.0 * (gy * ny + gx * nx + gq * (ny * nx) * 2.0)
         img += noise_sigma * rng.normal(size=(s, s))
+        if geom_out is not None:
+            geom_out["mask"] = mask
+            geom_out["d_masks"] = d_masks
         return img, mask
 
-    def _gen(self, case: int, sl: int):
+    def _render_modal2(self, case: int, sl: int, geom: dict) -> np.ndarray:
+        """Second-modality rendering of the SAME scene — the CHAOS T1
+        in-phase/out-phase analogue (dataset_chaos/*: the two channels are
+        one acquisition with different tissue contrast). Per-case appearance
+        comes from an independent case-keyed stream; noise and bias are
+        independent per-slice draws, so the two modalities carry
+        complementary information: foreground contrast is INVERTED (fg
+        darker) and the distractor blobs are rendered with their own
+        (usually weaker) gain, so fusing modalities genuinely
+        disambiguates where one alone cannot."""
+        s = self.size
+        crng2 = np.random.default_rng(
+            ((self.seed * 7 + 13) * 999983 + case * 613 + 7919) % (2**31)
+        )
+        rng2 = np.random.default_rng(
+            (self.seed * 1000003 + case * 1009 + sl + 500009) % (2**31)
+        )
+        base2 = 120.0 + 60.0 * crng2.random()
+        contrast2 = -(10.0 + 18.0 * crng2.random())   # fg darker
+        d_gain = contrast2 * (0.1 + 0.6 * crng2.random())
+        noise_sigma2 = 10.0 + 12.0 * crng2.random()
+        img = np.full((s, s), base2, np.float32)
+        img += contrast2 * geom["mask"]
+        for dm in geom["d_masks"]:
+            img += d_gain * dm
+        yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
+        ny, nx = (yy / s - 0.5), (xx / s - 0.5)
+        gy, gx, gq = rng2.normal(0, 1.0, size=3)
+        img += 12.0 * (gy * ny + gx * nx + gq * (ny * nx) * 2.0)
+        img += noise_sigma2 * rng2.normal(size=(s, s))
+        return np.clip(img, 0, 255).astype(np.float32)
+
+    def _gen(self, case: int, sl: int, geom_out: Optional[dict] = None):
         rng = np.random.default_rng(
             (self.seed * 1000003 + case * 1009 + sl) % (2**31)
         )
         if self.style in ("hard", "xhard"):
-            img, mask = self._gen_hard(case, sl, rng)
+            img, mask = self._gen_hard(case, sl, rng, geom_out)
             img = np.clip(img, 0, 255).astype(np.float32)
             noisy = mask
             if case >= self.clean_cases and rng.random() < self.noisy_fraction:
@@ -243,11 +280,24 @@ class SyntheticTask(Task):
 
     # ---- decode ----
     def decode(self, spec: SliceSpec) -> Tuple[Tuple[np.ndarray, ...], np.ndarray]:
-        img, mask, noisy = self._gen(spec.extras["case"], spec.extras["slice"])
+        geom: dict = {}
+        img, mask, noisy = self._gen(
+            spec.extras["case"], spec.extras["slice"],
+            geom_out=geom if self.two_modal else None,
+        )
         label = noisy if spec.extras.get("train", True) else mask
         rgb = gray_to_rgb(img.astype(np.uint8)).astype(np.float32)
         if self.two_modal:
-            inv = gray_to_rgb((255 - img).astype(np.uint8)).astype(np.float32)
+            if self.style in ("hard", "xhard"):
+                # independently-rendered second acquisition of the same
+                # scene (see _render_modal2)
+                m2 = self._render_modal2(
+                    spec.extras["case"], spec.extras["slice"], geom
+                )
+            else:
+                # ellipse style keeps the historical cheap second channel
+                m2 = 255 - img
+            inv = gray_to_rgb(m2.astype(np.uint8)).astype(np.float32)
             return (rgb, inv), label
         return (rgb,), label
 

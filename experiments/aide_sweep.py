@@ -28,6 +28,20 @@ VARIANTS = {
     # the shift-regime recipe applied to pseudo labels: clean-anchored
     # fine-tune instead of flagship from-scratch
     "kidney": ["@resume", "coteach.consistency_weight=1.0", "optim.lr=1e-5"],
+    # post-warmup decay levers (xhard ladder: label quality improves under
+    # the every-epoch warmup refreshes, decays at the interval-10 cadence
+    # after — extend the improving window / keep the cadence dense)
+    "warmup40": ["coteach.warmup_epochs=40"],
+    "warmup60": ["coteach.warmup_epochs=60"],
+    "warmup40_update50": [
+        "coteach.warmup_epochs=40", "coteach.update_percent=0.5"
+    ],
+    "warmup40_interval2": [
+        "coteach.warmup_epochs=40", "coteach.refresh_interval=2"
+    ],
+    "warmup40_skipempty": [
+        "coteach.warmup_epochs=40", "coteach.refresh_skip_empty=true"
+    ],
 }
 
 
@@ -43,6 +57,9 @@ def main() -> int:
     ap.add_argument("--clean-cases", type=int, default=SA.CLEAN_CASES)
     ap.add_argument("--slices-per-case", type=int, default=SA.SLICES_PER_CASE)
     ap.add_argument("--model", default=SA.MODEL)
+    ap.add_argument("--img-size", type=int, default=SA.IMG_SIZE)
+    ap.add_argument("--seed", type=int, default=SA.SEED)
+    ap.add_argument("--out", default="", help="write results json here")
     args = ap.parse_args()
 
     SA.STYLE = args.style
@@ -51,6 +68,8 @@ def main() -> int:
     SA.CLEAN_CASES = args.clean_cases
     SA.SLICES_PER_CASE = args.slices_per_case
     SA.MODEL = args.model
+    SA.IMG_SIZE = args.img_size
+    SA.SEED = args.seed
     names = args.only.split(",") if args.only else list(VARIANTS)
 
     results = {}
@@ -70,6 +89,9 @@ def main() -> int:
         print(json.dumps({name: r}), flush=True)
 
     print(json.dumps(results, indent=2), flush=True)
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(results, fh, indent=2)
     return 0
 
 

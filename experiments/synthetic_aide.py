@@ -48,6 +48,13 @@ STYLE = "ellipse"         # --style hard: star-convex shapes, low contrast,
 #              pretrain 0.756 -> pseudo-label naive 0.799 -> AIDE 0.871,
 #              examplesegmentationresults/, SURVEY §6).
 PROTOCOL = "shift"
+# --two-modal: generate the complementary second acquisition and train the
+# reference's flagship FuseUNet family on it (SURVEY §6: the CHAOS ladder
+# is two-modal T1 in/out-phase + fuseunet)
+TWO_MODAL = False
+# lane-dense packed execution for the unet/fuseunet plain variants
+# (models/packed.py) — numerically the same network, ~25-30% faster on TPU
+PACKED = False
 # extra dotted-key overrides applied to the AIDE stage config only (used by
 # experiments/aide_sweep.py to search co-teaching hyperparameters)
 AIDE_OVERRIDES: list = []
@@ -57,7 +64,9 @@ def build_cfg(stage: str, workdir: str, epochs: int, resume: str = ""):
     from aide_tpu.core.config import TrainConfig, ModelConfig
 
     cfg = TrainConfig()
-    cfg.model = ModelConfig(name=MODEL, compute_dtype="bfloat16", norm="batch")
+    cfg.model = ModelConfig(
+        name=MODEL, compute_dtype="bfloat16", norm="batch", packed=PACKED
+    )
     cfg.data.task = "synthetic"
     cfg.data.variant = "proposed" if stage == "aide" else "comparison"
     cfg.data.img_size = IMG_SIZE
@@ -96,6 +105,7 @@ def make_task(workdir: str, stage: str, num_cases: int):
     return SyntheticTask(
         root=os.path.join(workdir, f"data_{stage}"),
         tempmask_folder=f"tempmasks_{stage}",
+        two_modal=TWO_MODAL,
         num_cases=num_cases,
         slices_per_case=SLICES_PER_CASE,
         size=IMG_SIZE,
@@ -247,7 +257,8 @@ def run(
 
 def main() -> int:
     global STYLE, CLEAN_CASES, NOISE_SHIFT_DIVISOR, PROTOCOL
-    global NUM_CASES, SLICES_PER_CASE, MODEL, SEED, IMG_SIZE
+    global NUM_CASES, SLICES_PER_CASE, MODEL, SEED, IMG_SIZE, TWO_MODAL
+    global PACKED
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=40)
     # the pretrain stage sees only 4 cases (32 slices, 4 steps/epoch) and
@@ -267,6 +278,11 @@ def main() -> int:
                     help="synthetic data generator seed (case anatomy)")
     ap.add_argument("--clean-cases", type=int, default=CLEAN_CASES)
     ap.add_argument("--shift-divisor", type=int, default=NOISE_SHIFT_DIVISOR)
+    ap.add_argument("--packed", action="store_true",
+                    help="lane-dense packed execution (models/packed.py)")
+    ap.add_argument("--two-modal", action="store_true",
+                    help="complementary second acquisition + fuseunet-family "
+                         "models (the reference's flagship CHAOS setup)")
     args = ap.parse_args()
 
     STYLE = args.style
@@ -278,6 +294,8 @@ def main() -> int:
     SEED = args.seed
     CLEAN_CASES = args.clean_cases
     NOISE_SHIFT_DIVISOR = args.shift_divisor
+    TWO_MODAL = args.two_modal
+    PACKED = args.packed
 
     os.makedirs(args.workdir, exist_ok=True)
     results = {}
@@ -309,6 +327,7 @@ def main() -> int:
         "protocol": PROTOCOL,
         "seed": SEED,
         "model": MODEL,
+        "two_modal": TWO_MODAL,
         "slices_per_case": SLICES_PER_CASE,
         "noisy_fraction": NOISY_FRACTION,
         "noise_shift_divisor": NOISE_SHIFT_DIVISOR,
