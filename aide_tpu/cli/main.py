@@ -130,6 +130,7 @@ def cmd_eval(args) -> int:
         root=cfg.data.root,
         tempmask_folder=cfg.data.tempmask_folder,
         mask_identity=cfg.data.mask_identity,
+        **cfg.data.task_options,
     )
     specs = task.load_manifest(cfg.data.test_csv, train=False)
     pipe = SlicePipeline(
@@ -212,6 +213,7 @@ def cmd_predict(args) -> int:
         root=cfg.data.root,
         tempmask_folder=cfg.data.tempmask_folder,
         mask_identity=cfg.data.mask_identity,
+        **cfg.data.task_options,
     )
     specs = task.load_manifest(cfg.data.test_csv, train=False)
     pipe = SlicePipeline(
@@ -295,13 +297,17 @@ def _maybe_synthetic_task(cfg: TrainConfig):
         return None
     from aide_tpu.data.tasks.synthetic import SyntheticTask
 
-    return SyntheticTask(
+    # defaults first; data.task_options wins (style, two_modal, num_cases,
+    # clean_cases, noisy_fraction, ... — see SyntheticTask.__init__)
+    kw = dict(
         root=cfg.data.root or "./synthetic_data",
         tempmask_folder=cfg.data.tempmask_folder or "tempmasks",
         noisy_fraction=0.5,
         num_classes=cfg.model.num_classes,
         seed=cfg.seed,
     )
+    kw.update(cfg.data.task_options)
+    return SyntheticTask(**kw)
 
 
 def main(argv=None) -> int:

@@ -98,6 +98,12 @@ class DataConfig:
     # npz under this directory (decode is minutes on 1-core TPU-VM hosts;
     # warm loads are seconds). Key covers manifest + img_size + norm stats.
     decode_cache_dir: str = ""
+    # Extra keyword arguments forwarded verbatim to the task constructor —
+    # e.g. the synthetic generator's knobs:
+    #   data.task_options={"style": "xhard", "two_modal": true,
+    #                      "num_cases": 30, "clean_cases": 1}
+    # (JSON object syntax in dotted overrides.)
+    task_options: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -262,6 +268,8 @@ def _coerce(raw: str, prev: Any) -> Any:
     if isinstance(prev, (list, tuple)):
         val = json.loads(raw)
         return tuple(val) if isinstance(prev, tuple) else val
+    if isinstance(prev, dict):
+        return json.loads(raw)
     if isinstance(prev, int) and not isinstance(prev, bool):
         return int(raw)
     if isinstance(prev, float):

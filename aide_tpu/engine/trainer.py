@@ -55,6 +55,7 @@ class Trainer:
             root=cfg.data.root,
             tempmask_folder=cfg.data.tempmask_folder,
             mask_identity=cfg.data.mask_identity,
+            **cfg.data.task_options,
         )
         self.two_modal = self.task.two_modal
         self.dual = cfg.data.variant == "proposed" and cfg.coteach.enabled

@@ -42,6 +42,12 @@ VARIANTS = {
     "warmup40_skipempty": [
         "coteach.warmup_epochs=40", "coteach.refresh_skip_empty=true"
     ],
+    # xhard sweep round 2: warmup60 won (0.7545 vs 0.7451) and its label
+    # quality was still improving when warmup ended; dense post-warmup
+    # refresh at full rate (warmup40_interval2) collapsed (final oracle
+    # 0.15) — the improving window IS the ramp, so extend it further
+    "warmup80": ["coteach.warmup_epochs=80"],
+    "warmup100": ["coteach.warmup_epochs=100"],
 }
 
 

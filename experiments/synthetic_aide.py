@@ -283,6 +283,9 @@ def main() -> int:
     ap.add_argument("--two-modal", action="store_true",
                     help="complementary second acquisition + fuseunet-family "
                          "models (the reference's flagship CHAOS setup)")
+    ap.add_argument("--aide-override", action="append", default=[],
+                    help="dotted config override applied to the AIDE stage "
+                         "only (repeatable), e.g. coteach.warmup_epochs=60")
     args = ap.parse_args()
 
     STYLE = args.style
@@ -296,6 +299,8 @@ def main() -> int:
     NOISE_SHIFT_DIVISOR = args.shift_divisor
     TWO_MODAL = args.two_modal
     PACKED = args.packed
+    global AIDE_OVERRIDES
+    AIDE_OVERRIDES = list(args.aide_override)
 
     os.makedirs(args.workdir, exist_ok=True)
     results = {}

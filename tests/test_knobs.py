@@ -1,6 +1,7 @@
 """Wiring tests for config knobs: augment_main, shuffle_seed,
 eval.threshold, log_every_steps, and removed-knob compatibility."""
 
+import json
 import logging
 
 import jax.numpy as jnp
@@ -207,3 +208,38 @@ def test_old_configs_with_slice_bucket_still_load():
     d["eval"]["slice_bucket"] = 8  # key from round-1 configs
     cfg = TrainConfig.from_dict(d)
     assert not hasattr(cfg.eval, "slice_bucket")
+
+
+# --------------------------- data.task_options ---------------------------
+
+
+class TestTaskOptions:
+    def test_dict_override_coerces_json(self):
+        cfg = TrainConfig().override(
+            ['data.task_options={"style": "xhard", "num_cases": 3}']
+        )
+        assert cfg.data.task_options == {"style": "xhard", "num_cases": 3}
+        # survives a JSON round trip like every other knob
+        again = TrainConfig.from_json(cfg.to_json())
+        assert again.data.task_options == cfg.data.task_options
+
+    def test_bad_json_raises(self):
+        with pytest.raises(json.JSONDecodeError):
+            TrainConfig().override(["data.task_options={style: xhard}"])
+
+    def test_options_reach_the_synthetic_task(self, tmp_path):
+        from aide_tpu.cli.main import _maybe_synthetic_task
+
+        cfg = TrainConfig().override(
+            [
+                "data.task=synthetic",
+                f"data.root={tmp_path}/d",
+                'data.task_options={"style": "hard", "num_cases": 3,'
+                ' "slices_per_case": 2, "two_modal": true}',
+            ]
+        )
+        task = _maybe_synthetic_task(cfg)
+        assert task.style == "hard"
+        assert task.num_cases == 3
+        assert task.slices_per_case == 2
+        assert task.two_modal is True
