@@ -183,8 +183,14 @@ def struct_conv(
 # rows/cols of the output get explicit 1-D correction convs (+ rank-0
 # corner add-backs by inclusion-exclusion).
 
-# flipped False only by A/B experiments — the fused path is the default
-FUSE_UPSAMPLE = True
+# Default OFF: A/B on the v5e chip (both orders, experiments/packed_ab.py)
+# measured the fused path ~3.8% SLOWER for the whole co-teach step (unfused
+# 153.2-153.3 ms vs fused 158.8-159.1 ms). The up-block is HBM-bound, so
+# the 9/16 MAC saving buys nothing, while the edge-correction convs (four
+# 1-D convs + corner terms per call) break XLA's fusion around the block.
+# The algebra is exact (float64 pin in tests/test_packed.py) and kept for
+# layouts where the resize's extra HBM round-trip dominates.
+FUSE_UPSAMPLE = False
 
 
 @lru_cache(maxsize=None)
