@@ -63,6 +63,10 @@ TASK_POINTS = {
                    cases=24, slices=10, test_cases=6),
     "breast": dict(model="unet", img=384, two_modal=False,
                    cases=60, slices=5, test_cases=10),
+    # prostate trainers run the single-modal UNet at 256 px
+    # (trainprostate_proposed_isbi3ttransferisbidx.py:42 --img_size 256)
+    "prostate": dict(model="unet", img=256, two_modal=False,
+                     cases=30, slices=15, test_cases=10),
 }
 
 
