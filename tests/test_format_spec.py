@@ -1,0 +1,185 @@
+"""Specification-pinned NIfTI-1 / NRRD fixtures.
+
+The round-trip tests in test_data_io.py exercise reader+writer together; a
+shared axis-order or offset mistake would cancel out. These tests build the
+files BYTE BY BYTE from the format specifications (nifti1.h field offsets;
+the NRRD0004 header grammar) so the readers are pinned to what SimpleITK
+would produce/consume — the contract the reference relies on
+(/root/reference/datasetkidney_comparison/dataset.py:28-46,
+/root/reference/datasetprostate_comparison/dataset.py:21-26).
+"""
+
+import gzip
+import struct
+
+import numpy as np
+import pytest
+
+from aide_tpu.data.io.nifti import read_nifti
+from aide_tpu.data.io.nrrd import read_nrrd
+
+
+def _value(x, y, z):
+    # distinctive per-voxel value (mixed radix, fits uint8 for the 3x2x4
+    # fixtures) so axis-order mistakes can't cancel
+    return 36 * z + 6 * y + x
+
+
+def _xyz_payload(nx, ny, nz, dtype, end="<"):
+    """Data blob in the on-disk NIfTI/NRRD convention: x fastest."""
+    out = []
+    for z in range(nz):
+        for y in range(ny):
+            for x in range(nx):
+                out.append(_value(x, y, z))
+    return np.asarray(out, dtype=np.dtype(dtype).newbyteorder(end)).tobytes()
+
+
+def _nifti_bytes(nx, ny, nz, *, end="<", datatype=4, bitpix=16,
+                 vox_offset=352.0, scl_slope=0.0, scl_inter=0.0,
+                 dtype=np.int16, magic=b"n+1\x00"):
+    """Assemble a NIfTI-1 file from the nifti1.h field offsets directly."""
+    hdr = bytearray(348)
+    struct.pack_into(end + "i", hdr, 0, 348)              # sizeof_hdr
+    dim = [3, nx, ny, nz, 1, 1, 1, 1]
+    struct.pack_into(end + "8h", hdr, 40, *dim)           # dim[8]
+    struct.pack_into(end + "h", hdr, 70, datatype)        # datatype
+    struct.pack_into(end + "h", hdr, 72, bitpix)          # bitpix
+    struct.pack_into(end + "8f", hdr, 76, 1, 1, 1, 1, 0, 0, 0, 0)  # pixdim
+    struct.pack_into(end + "f", hdr, 108, vox_offset)     # vox_offset
+    struct.pack_into(end + "f", hdr, 112, scl_slope)      # scl_slope
+    struct.pack_into(end + "f", hdr, 116, scl_inter)      # scl_inter
+    hdr[344:348] = magic
+    pad = b"\x00" * (int(vox_offset) - 348)
+    return bytes(hdr) + pad + _xyz_payload(nx, ny, nz, dtype, end)
+
+
+class TestNiftiSpec:
+    def test_little_endian_int16_axis_order(self, tmp_path):
+        p = tmp_path / "v.nii"
+        p.write_bytes(_nifti_bytes(3, 2, 4))
+        arr = read_nifti(str(p))
+        assert arr.shape == (4, 2, 3)  # (z, y, x) like SimpleITK
+        assert arr.dtype == np.int16
+        for z in range(4):
+            for y in range(2):
+                for x in range(3):
+                    assert arr[z, y, x] == _value(x, y, z)
+
+    def test_big_endian_header_and_data(self, tmp_path):
+        p = tmp_path / "be.nii"
+        p.write_bytes(_nifti_bytes(3, 2, 4, end=">"))
+        arr = read_nifti(str(p))
+        assert arr.shape == (4, 2, 3)
+        assert arr[3, 1, 2] == _value(2, 1, 3)
+
+    def test_scl_slope_inter_applied(self, tmp_path):
+        p = tmp_path / "scl.nii"
+        p.write_bytes(_nifti_bytes(3, 2, 4, scl_slope=2.0, scl_inter=-1.0))
+        arr = read_nifti(str(p))
+        assert arr.dtype == np.float32
+        assert arr[1, 1, 2] == pytest.approx(2.0 * _value(2, 1, 1) - 1.0)
+
+    def test_gzip_container(self, tmp_path):
+        p = tmp_path / "v.nii.gz"
+        p.write_bytes(gzip.compress(_nifti_bytes(3, 2, 4)))
+        arr = read_nifti(str(p))
+        assert arr[2, 0, 1] == _value(1, 0, 2)
+
+    def test_nonstandard_vox_offset(self, tmp_path):
+        # extension blobs push vox_offset past 352; reader must honor it
+        p = tmp_path / "ext.nii"
+        p.write_bytes(_nifti_bytes(3, 2, 4, vox_offset=368.0))
+        arr = read_nifti(str(p))
+        assert arr[0, 1, 0] == _value(0, 1, 0)
+
+    def test_uint8_datatype(self, tmp_path):
+        p = tmp_path / "u8.nii"
+        p.write_bytes(_nifti_bytes(3, 2, 4, datatype=2, bitpix=8,
+                                   dtype=np.uint8))
+        arr = read_nifti(str(p))
+        assert arr.dtype == np.uint8
+        assert arr[3, 0, 2] == _value(2, 0, 3)
+
+    def test_bad_magic_rejected(self, tmp_path):
+        p = tmp_path / "bad.nii"
+        p.write_bytes(_nifti_bytes(3, 2, 4, magic=b"xx1\x00"))
+        with pytest.raises(ValueError, match="magic"):
+            read_nifti(str(p))
+
+
+class TestNrrdSpec:
+    def _hdr(self, lines):
+        return ("\n".join(lines) + "\n\n").encode()
+
+    def test_raw_little_endian_short(self, tmp_path):
+        hdr = self._hdr([
+            "NRRD0004",
+            "# SimpleITK-style comment line",
+            "type: short",
+            "dimension: 3",
+            "space: left-posterior-superior",
+            "sizes: 3 2 4",
+            "space directions: (1,0,0) (0,1,0) (0,0,1)",
+            "kinds: domain domain domain",
+            "endian: little",
+            "encoding: raw",
+            "space origin: (0,0,0)",
+        ])
+        p = tmp_path / "v.nrrd"
+        p.write_bytes(hdr + _xyz_payload(3, 2, 4, np.int16))
+        arr, meta = read_nrrd(str(p))
+        assert arr.shape == (4, 2, 3)  # sizes are x-fastest; we return (z,y,x)
+        assert meta["type"] == "short"
+        for z in range(4):
+            for y in range(2):
+                for x in range(3):
+                    assert arr[z, y, x] == _value(x, y, z)
+
+    def test_gzip_encoding(self, tmp_path):
+        hdr = self._hdr([
+            "NRRD0004", "type: unsigned char", "dimension: 3",
+            "sizes: 3 2 4", "encoding: gzip",
+        ])
+        p = tmp_path / "g.nrrd"
+        p.write_bytes(hdr + gzip.compress(_xyz_payload(3, 2, 4, np.uint8)))
+        arr, _ = read_nrrd(str(p))
+        assert arr.dtype == np.uint8
+        assert arr[1, 1, 1] == _value(1, 1, 1)
+
+    def test_big_endian_payload(self, tmp_path):
+        hdr = self._hdr([
+            "NRRD0004", "type: short", "dimension: 3",
+            "sizes: 3 2 4", "endian: big", "encoding: raw",
+        ])
+        p = tmp_path / "be.nrrd"
+        p.write_bytes(hdr + _xyz_payload(3, 2, 4, np.int16, end=">"))
+        arr, _ = read_nrrd(str(p))
+        assert arr[3, 1, 2] == _value(2, 1, 3)
+
+    def test_crlf_header_lines(self, tmp_path):
+        # teem tools may emit \r\n; the blank terminator line is then "\r"
+        hdr = ("NRRD0004\r\ntype: uchar\r\ndimension: 3\r\n"
+               "sizes: 3 2 4\r\nencoding: raw\r\n\r\n").encode()
+        p = tmp_path / "crlf.nrrd"
+        p.write_bytes(hdr + _xyz_payload(3, 2, 4, np.uint8))
+        arr, _ = read_nrrd(str(p))
+        assert arr.shape == (4, 2, 3)
+        assert arr[2, 1, 0] == _value(0, 1, 2)
+
+    def test_float_volume(self, tmp_path):
+        hdr = self._hdr([
+            "NRRD0004", "type: float", "dimension: 3",
+            "sizes: 3 2 4", "endian: little", "encoding: raw",
+        ])
+        p = tmp_path / "f.nrrd"
+        p.write_bytes(hdr + _xyz_payload(3, 2, 4, np.float32))
+        arr, _ = read_nrrd(str(p))
+        assert arr.dtype == np.float32
+        assert arr[0, 0, 2] == _value(2, 0, 0)
+
+    def test_not_nrrd_rejected(self, tmp_path):
+        p = tmp_path / "x.nrrd"
+        p.write_bytes(b"PNG\n\n")
+        with pytest.raises(ValueError, match="not an NRRD"):
+            read_nrrd(str(p))
