@@ -328,7 +328,10 @@ class SlicePipeline:
             os.makedirs(cache_dir, exist_ok=True)
             import glob
 
-            for stale in glob.glob(f"{self._cache_prefix}*.npz"):
+            # also match the pre-stat-key filename decode_<id>.npz (no
+            # trailing underscore) so legacy caches don't orphan forever
+            legacy = f"{self._cache_prefix.rstrip('_')}.npz"
+            for stale in glob.glob(f"{self._cache_prefix}*.npz") + [legacy]:
                 try:
                     os.remove(stale)
                 except OSError:

@@ -69,8 +69,12 @@ class SyntheticTask(Task):
         # ``num_test_cases`` cases starting at ``test_case_offset``.
         # offset 0 (default) keeps the historical behavior (test = the train
         # cases with clean labels); a large offset gives unseen anatomy.
-        self.test_case_offset = int(kw.get("test_case_offset", 0))
-        self.num_test_cases = int(kw.get("num_test_cases", num_cases))
+        self.test_case_offset = int(kw.pop("test_case_offset", 0))
+        self.num_test_cases = int(kw.pop("num_test_cases", num_cases))
+        if kw:
+            # data.task_options is forwarded here verbatim; a swallowed typo
+            # (e.g. noisy_fracton) would silently train with defaults
+            raise TypeError(f"SyntheticTask: unknown options {sorted(kw)}")
         self.seed = seed
 
     def clean_case_ids(self):

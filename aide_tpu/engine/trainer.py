@@ -505,12 +505,27 @@ class Trainer:
         try:
             for epoch in range(self.start_epoch, n):
                 self.run_epoch(epoch)
+            unwinding = False
+        except BaseException:
+            unwinding = True
+            raise
         finally:
             # a crash or tunnel drop mid-run must not lose the device-side
             # best-epoch snapshot (checkpoint_flush='end') or the history:
-            # flushing is one batched fetch, cheap even on the failure path
-            self._save_history()
-            self.flush_checkpoints()
+            # flushing is one batched fetch, cheap even on the failure path.
+            # If the flush itself fails while we are already unwinding (the
+            # fetch may need the very tunnel that dropped), log and let the
+            # ORIGINAL error propagate instead of masking it; on the success
+            # path a flush failure still raises.
+            try:
+                self._save_history()
+                self.flush_checkpoints()
+            except Exception:
+                if not unwinding:
+                    raise
+                self.logger.exception(
+                    "failure-path checkpoint/history flush failed"
+                )
         # exact-continuation artifact: state as of the END of epoch n, with
         # the epoch clock / best-gate / history bookkeeping in the sidecar.
         # Resuming it reproduces `train(n+k)` exactly (working labels return

@@ -176,7 +176,10 @@ def run_stage(stage: str, workdir: str, epochs: int) -> dict:
         # naive: train directly on the pseudo-labels (the golden 0.547 rung)
         pipe.targets[idxs] = pseudo
         if pipe._device_data is not None:
-            pipe.to_device()
+            # re-upload with the trainer's mesh so the device cache keeps
+            # its sharding policy (a bare to_device() would fall back to a
+            # single-default-device cache)
+            pipe.to_device(trainer.mesh, trainer.cfg.mesh.data_axis)
 
     history = trainer.run(epochs)
     best = max(

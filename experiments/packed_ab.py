@@ -45,7 +45,7 @@ def build(packed: bool, size=256, batch=8):
     return step, state, data
 
 
-def bench(packed: bool, iters: int, fuse_upsample: bool = True):
+def bench(packed: bool, iters: int, fuse_upsample: bool = False):
     from aide_tpu.models import packed as packed_mod
 
     packed_mod.FUSE_UPSAMPLE = fuse_upsample

@@ -243,3 +243,17 @@ class TestTaskOptions:
         assert task.num_cases == 3
         assert task.slices_per_case == 2
         assert task.two_modal is True
+
+
+class TestTaskOptionsValidation:
+    def test_unknown_synthetic_option_raises(self):
+        # data.task_options forwards verbatim into the task constructor; a
+        # typo'd knob must fail loudly instead of training with defaults
+        with pytest.raises(TypeError, match="noisy_fracton"):
+            SyntheticTask(num_cases=2, slices_per_case=2, size=16,
+                          noisy_fracton=0.9)
+
+    def test_known_extras_still_accepted(self):
+        t = SyntheticTask(num_cases=2, slices_per_case=2, size=16,
+                          test_case_offset=100, num_test_cases=3)
+        assert t.test_case_offset == 100 and t.num_test_cases == 3
