@@ -28,34 +28,53 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--packed", action="store_true")
     ap.add_argument("--tag", default="")
+    ap.add_argument("--model", default="fuseunet",
+                    help="fuseunet (chaos) or unet (kidney/breast points)")
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=8)
     args = ap.parse_args()
     global TRACE_DIR
     if args.tag:
         TRACE_DIR = f"/tmp/aide_step_trace_{args.tag}"
-    size, batch = 256, 8
+    size, batch = args.size, args.batch
     cfg = TrainConfig()
-    cfg.model = ModelConfig(name="fuseunet", compute_dtype="bfloat16",
+    cfg.model = ModelConfig(name=args.model, compute_dtype="bfloat16",
                             packed=args.packed)
     cfg.data.img_size = size
     cfg.data.batch_size = batch
     cfg.data.num_tta_views = 4
 
+    from aide_tpu.models import is_two_modal
+
     model = build_model(cfg.model)
     x = jnp.zeros((1, size, size, 3))
-    v1 = model.init(jax.random.key(0), x, x, train=False)
-    v2 = model.init(jax.random.key(1), x, x, train=False)
+    two_modal = is_two_modal(args.model)
+    if two_modal:
+        v1 = model.init(jax.random.key(0), x, x, train=False)
+        v2 = model.init(jax.random.key(1), x, x, train=False)
+    else:
+        v1 = model.init(jax.random.key(0), x, train=False)
+        v2 = model.init(jax.random.key(1), x, train=False)
     tx = make_optimizer(cfg.optim, 123, 100)
     state = DualTrainState.create(v1, v2, tx)
 
     rng = np.random.default_rng(0)
     data = {
-        "modal1": jnp.asarray(rng.normal(size=(batch, size, size, 3)), jnp.float32),
-        "modal2": jnp.asarray(rng.normal(size=(batch, size, size, 3)), jnp.float32),
-        "fill1": jnp.zeros((batch, 3)), "fill2": jnp.zeros((batch, 3)),
         "target1": jnp.asarray(rng.random((batch, size, size)) > 0.7, jnp.int32),
         "target2": jnp.asarray(rng.random((batch, size, size)) > 0.7, jnp.int32),
     }
-    step = steps_mod.make_coteach_train_step(model, True, cfg)
+    if two_modal:
+        data["modal1"] = jnp.asarray(
+            rng.normal(size=(batch, size, size, 3)), jnp.float32)
+        data["modal2"] = jnp.asarray(
+            rng.normal(size=(batch, size, size, 3)), jnp.float32)
+        data["fill1"] = jnp.zeros((batch, 3))
+        data["fill2"] = jnp.zeros((batch, 3))
+    else:
+        data["image"] = jnp.asarray(
+            rng.normal(size=(batch, size, size, 3)), jnp.float32)
+        data["fill"] = jnp.zeros((batch, 3))
+    step = steps_mod.make_coteach_train_step(model, two_modal, cfg)
     key, rate = jax.random.key(0), jnp.asarray(0.5)
 
     state, m = step(state, data, key, rate)
