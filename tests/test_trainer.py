@@ -206,3 +206,48 @@ class TestCheckpointFlush:
                 files[mode] = fh.read()
         # same training -> byte-identical exports from either mode
         assert files["best"] == files["end"]
+
+
+@pytest.mark.slow
+class TestRunFlushErrorSemantics:
+    def test_epoch_failure_still_flushes_and_original_error_propagates(
+        self, tmp_path
+    ):
+        """A mid-run crash must still write history/checkpoints, and the
+        ORIGINAL error (not a flush error) must propagate."""
+        tr = make_trainer(tmp_path, checkpoint_flush="end")
+        tr.run_epoch(0)  # establish a best snapshot on device
+        boom = RuntimeError("tunnel dropped")
+
+        def failing_epoch(epoch):
+            raise boom
+
+        tr.run_epoch = failing_epoch
+        with pytest.raises(RuntimeError, match="tunnel dropped"):
+            tr.run(2)
+        name = f"{tr.cfg.experiment_name}_net1_besttraincasedice.msgpack"
+        assert os.path.exists(os.path.join(tr.cfg.checkpoint_dir, name))
+
+    def test_flush_error_swallowed_only_while_unwinding(self, tmp_path):
+        """If the flush itself fails during exception unwinding the original
+        error wins; on the success path a flush failure must raise."""
+        tr = make_trainer(tmp_path, checkpoint_flush="end")
+
+        def failing_flush():
+            raise OSError("disk full")
+
+        tr.flush_checkpoints = failing_flush
+
+        # success path: flush failure surfaces
+        with pytest.raises(OSError, match="disk full"):
+            tr.run(1)
+
+        # failure path: the run error wins, flush error only logged
+        def failing_epoch(epoch):
+            raise RuntimeError("step exploded")
+
+        tr2 = make_trainer(tmp_path / "b", checkpoint_flush="end")
+        tr2.run_epoch = failing_epoch
+        tr2.flush_checkpoints = failing_flush
+        with pytest.raises(RuntimeError, match="step exploded"):
+            tr2.run(1)
