@@ -44,8 +44,7 @@ def cmd_train(args) -> int:
     cfg = _build_config(args)
     from aide_tpu.engine.trainer import Trainer
 
-    task = _maybe_synthetic_task(cfg)
-    trainer = Trainer(cfg, task=task)
+    trainer = Trainer(cfg)
     epochs = args.epochs or cfg.num_epochs
     if args.profile:
         # TPU-first observability the reference lacks (SURVEY §5): trace the
@@ -104,64 +103,61 @@ def _load_checkpoint_variables(path: str, cfg: TrainConfig, template):
     )
 
 
+def _setup_inference(cfg, checkpoint: str):
+    """Shared eval/predict setup: task + test pipeline (HBM cache per the
+    Trainer's device_cache policy; single jit program, so no mesh) + model
+    with checkpoint weights + predict fns. Returns (task, pipe, state,
+    predict, predict_all)."""
+    from aide_tpu.data.pipeline import SlicePipeline
+    from aide_tpu.data.tasks import build_task
+    from aide_tpu.engine import steps as steps_mod
+    from aide_tpu.engine.state import TrainState
+    from aide_tpu.models import build_model
+    from aide_tpu.ops.schedules import make_optimizer
+    import jax
+    import jax.numpy as jnp
+
+    task = build_task(cfg)
+    specs = task.load_manifest(cfg.data.test_csv, train=False)
+    pipe = SlicePipeline(
+        task, specs, cfg.data.img_size, cfg.data.data_mean, cfg.data.data_std
+    )
+    if cfg.data.device_cache in ("on", "auto"):
+        pipe.to_device()
+    model = build_model(cfg.model)
+    s = cfg.data.img_size
+    dummy = (jnp.zeros((1, s, s, 3)),) * (2 if task.two_modal else 1)
+    variables = model.init(jax.random.key(0), *dummy, train=False)
+    variables = _load_checkpoint_variables(checkpoint, cfg, variables)
+    state = TrainState.create(variables, make_optimizer(cfg.optim, 1, 1))
+    predict = steps_mod.make_predict_step(model, task.two_modal, dual=False)
+    predict_all = (
+        steps_mod.make_predict_all(model, task.two_modal, dual=False)
+        if pipe.device_image_data is not None
+        else None
+    )
+    return task, pipe, state, predict, predict_all
+
+
 def cmd_eval(args) -> int:
     """Offline eval: load a checkpoint, run case-wise 3D inference, emit the
     reference's CSV/PNG artifacts (evalchaos_comparison_1cases.py:143-243)."""
     cfg = _build_config(args)
-    import numpy as np
-
-    from aide_tpu.core.registry import TASKS
-    from aide_tpu.data.pipeline import SlicePipeline
-    from aide_tpu.engine import checkpoint as ckpt_mod
-    from aide_tpu.engine import steps as steps_mod
-    from aide_tpu.engine.state import TrainState
     from aide_tpu.evaluation import (
         evaluate_cases,
         summarize,
         write_case_csv,
         write_case_masks,
     )
-    from aide_tpu.models import build_model
-    from aide_tpu.ops.schedules import make_optimizer
-    import jax
-    import jax.numpy as jnp
 
-    task = _maybe_synthetic_task(cfg) or TASKS.get(cfg.data.task)(
-        root=cfg.data.root,
-        tempmask_folder=cfg.data.tempmask_folder,
-        mask_identity=cfg.data.mask_identity,
-        **cfg.data.task_options,
-    )
-    specs = task.load_manifest(cfg.data.test_csv, train=False)
-    pipe = SlicePipeline(
-        task, specs, cfg.data.img_size, cfg.data.data_mean, cfg.data.data_std
-    )
-    # same policy as Trainer (engine/trainer.py): on/auto both enable the
-    # HBM cache. CLI inference is a single jit program on the default
-    # device, so no mesh is passed — the cache commits to that device.
-    if cfg.data.device_cache in ("on", "auto"):
-        pipe.to_device()
+    if not args.checkpoint:
+        print("error: --checkpoint is required for eval", file=sys.stderr)
+        return 2
+    task, pipe, state, predict, predict_all = _setup_inference(cfg, args.checkpoint)
     cases = (
         task.load_case_list(cfg.data.testcase_csv)
         if cfg.data.testcase_csv
         else list(pipe.cases)
-    )
-
-    model = build_model(cfg.model)
-    s = cfg.data.img_size
-    dummy = (jnp.zeros((1, s, s, 3)),) * (2 if task.two_modal else 1)
-    variables = model.init(jax.random.key(0), *dummy, train=False)
-    if not args.checkpoint:
-        print("error: --checkpoint is required for eval", file=sys.stderr)
-        return 2
-    variables = _load_checkpoint_variables(args.checkpoint, cfg, variables)
-    state = TrainState.create(variables, make_optimizer(cfg.optim, 1, 1))
-
-    predict = steps_mod.make_predict_step(model, task.two_modal, dual=False)
-    predict_all = (
-        steps_mod.make_predict_all(model, task.two_modal, dual=False)
-        if pipe.device_image_data is not None
-        else None
     )
     results = evaluate_cases(
         predict, state, pipe, cases, cfg.data.eval_batch_size, dual=False,
@@ -198,57 +194,27 @@ def cmd_predict(args) -> int:
     — e.g. the kidney image-only testing CSVs) and write predicted masks in
     the task's native convention. No metrics are computed."""
     cfg = _build_config(args)
-    from aide_tpu.core.registry import TASKS
-    from aide_tpu.data.pipeline import SlicePipeline
-    from aide_tpu.engine import checkpoint as ckpt_mod
-    from aide_tpu.engine import steps as steps_mod
-    from aide_tpu.engine.state import TrainState
-    from aide_tpu.evaluation import infer_cases, write_case_masks
-    from aide_tpu.models import build_model
-    from aide_tpu.ops.schedules import make_optimizer
-    import jax
-    import jax.numpy as jnp
+    from aide_tpu.evaluation import infer_cases
 
-    task = _maybe_synthetic_task(cfg) or TASKS.get(cfg.data.task)(
-        root=cfg.data.root,
-        tempmask_folder=cfg.data.tempmask_folder,
-        mask_identity=cfg.data.mask_identity,
-        **cfg.data.task_options,
-    )
-    specs = task.load_manifest(cfg.data.test_csv, train=False)
-    pipe = SlicePipeline(
-        task, specs, cfg.data.img_size, cfg.data.data_mean, cfg.data.data_std
-    )
-    # same policy as Trainer: on/auto enable the HBM cache (single-device
-    # inference program, so no mesh — see the eval command above)
-    if cfg.data.device_cache in ("on", "auto"):
-        pipe.to_device()
-    model = build_model(cfg.model)
-    s = cfg.data.img_size
-    dummy = (jnp.zeros((1, s, s, 3)),) * (2 if task.two_modal else 1)
-    variables = model.init(jax.random.key(0), *dummy, train=False)
     if not args.checkpoint:
         print("error: --checkpoint is required for predict", file=sys.stderr)
         return 2
-    variables = _load_checkpoint_variables(args.checkpoint, cfg, variables)
-    state = TrainState.create(variables, make_optimizer(cfg.optim, 1, 1))
-    predict = steps_mod.make_predict_step(model, task.two_modal, dual=False)
-
+    task, pipe, state, predict, predict_all = _setup_inference(cfg, args.checkpoint)
     out_dir = args.output or cfg.eval.output_dir
     volumes = infer_cases(
         predict, state, pipe, pipe.cases, cfg.data.eval_batch_size,
         dual=False, keep_largest_cc=cfg.eval.keep_largest_cc,
-        predict_all=(
-            steps_mod.make_predict_all(model, task.two_modal, dual=False)
-            if pipe.device_image_data is not None
-            else None
-        ),
+        predict_all=predict_all,
     )
     count = 0
     for case, vols in zip(pipe.cases, volumes):
         idxs = pipe.case_indices(case)
-        names = [f"slice{j:03d}" for j in range(len(idxs))]
-        write_case_masks(out_dir, case, vols[0], names, scale=cfg.eval.png_scale)
+        case_specs = [pipe.specs[i] for i in idxs]
+        # task-native convention: PNGs for chaos/breast/synthetic, per-image
+        # .nii.gz for kidney, whole-case volume for prostate
+        task.write_case_predictions(
+            out_dir, case, case_specs, vols[0], png_scale=cfg.eval.png_scale
+        )
         count += len(idxs)
     print(json.dumps({"cases": len(pipe.cases), "slices": count, "output": out_dir}))
     return 0
@@ -274,11 +240,17 @@ def cmd_export(args) -> int:
     dummy = (jnp.zeros((1, s, s, 3)),) * (2 if is_two_modal(cfg.model.name) else 1)
     template = model.init(jax.random.key(0), *dummy, train=False)
     variables = ckpt_mod.load_net(args.checkpoint, template)
-    meta = ckpt_mod.read_meta(args.checkpoint) or {}
+    try:
+        # checkpoint sidecar may be absent when only the .msgpack was copied
+        meta = ckpt_mod.read_meta(args.checkpoint)
+    except FileNotFoundError:
+        meta = {}
+    # sidecar meta stores the test metrics unprefixed ('loss1'/'loss');
+    # the 'test_' prefix exists only on history rows
     export_reference_checkpoint(
         args.output, variables, cfg.model.name, cfg.model.learned_bilinear,
         meta={
-            "loss": float(meta.get("test_loss1", meta.get("test_loss", 0.0))),
+            "loss": float(meta.get("loss1", meta.get("loss", 0.0))),
             "epoch": int(meta.get("epoch", 0)),
         },
     )
@@ -290,24 +262,6 @@ def cmd_presets(args) -> int:
     for name in sorted(PRESETS):
         print(name)
     return 0
-
-
-def _maybe_synthetic_task(cfg: TrainConfig):
-    if cfg.data.task != "synthetic":
-        return None
-    from aide_tpu.data.tasks.synthetic import SyntheticTask
-
-    # defaults first; data.task_options wins (style, two_modal, num_cases,
-    # clean_cases, noisy_fraction, ... — see SyntheticTask.__init__)
-    kw = dict(
-        root=cfg.data.root or "./synthetic_data",
-        tempmask_folder=cfg.data.tempmask_folder or "tempmasks",
-        noisy_fraction=0.5,
-        num_classes=cfg.model.num_classes,
-        seed=cfg.seed,
-    )
-    kw.update(cfg.data.task_options)
-    return SyntheticTask(**kw)
 
 
 def main(argv=None) -> int:

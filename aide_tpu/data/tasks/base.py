@@ -105,5 +105,29 @@ class Task:
         resolution of the specs)."""
         raise NotImplementedError
 
+    def write_case_predictions(
+        self,
+        out_dir: str,
+        case_id: str,
+        specs: Sequence[SliceSpec],
+        volume: np.ndarray,
+        png_scale: int = 63,
+    ) -> None:
+        """Write a predicted (S, H, W) binary case volume under ``out_dir``
+        in the task's NATIVE mask convention. Default: per-slice PNGs named
+        after the source-image stems under <out_dir>/<case>/ (the reference
+        eval layout, evalchaos_comparison_1cases.py:234-237). Tasks whose
+        masks live in another format (kidney .nii.gz, prostate whole-case
+        volumes) override."""
+        from aide_tpu.data.io import png
+
+        folder = os.path.join(out_dir, str(case_id))
+        os.makedirs(folder, exist_ok=True)
+        for spec, sl in zip(specs, volume):
+            stem = os.path.basename(spec.image_paths[0]).split(".")[0]
+            png.write_mask(
+                os.path.join(folder, f"{stem}.png"), sl, scale=png_scale
+            )
+
     def _ensure_dir(self, path: str) -> None:
         os.makedirs(os.path.dirname(path), exist_ok=True)

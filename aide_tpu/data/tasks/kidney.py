@@ -114,3 +114,23 @@ class KidneyTask(Task):
             path = self.tempmask_path(spec, net)
             self._ensure_dir(path)
             nifti.write_nifti(path, sl[None].astype(np.uint8) * 255)
+
+    def write_case_predictions(
+        self,
+        out_dir: str,
+        case_id: str,
+        specs: Sequence[SliceSpec],
+        volume: np.ndarray,
+        png_scale: int = 63,
+    ) -> None:
+        """Kidney-native prediction output: one 0/255 .nii.gz per image,
+        named after the image stem (the dataset's per-image mask
+        convention, datasetkidney_proposed/dataset.py:35-38)."""
+        folder = os.path.join(out_dir, str(case_id))
+        os.makedirs(folder, exist_ok=True)
+        for spec, sl in zip(specs, volume):
+            stem = os.path.basename(spec.image_paths[0]).split(".")[0]
+            nifti.write_nifti(
+                os.path.join(folder, f"{stem}.nii.gz"),
+                sl[None].astype(np.uint8) * 255,
+            )

@@ -103,6 +103,25 @@ class ProstateTask(Task):
             self._cache[key] = read_volume(path)
         return (self._cache[key][spec.depth] > 0).astype(np.uint8)
 
+    def write_case_predictions(
+        self,
+        out_dir: str,
+        case_id: str,
+        specs: Sequence[SliceSpec],
+        volume: np.ndarray,
+        png_scale: int = 63,
+    ) -> None:
+        """Prostate-native prediction output: ONE whole-case volume file
+        (the dataset's whole-case mask convention). Written as NIfTI
+        <case>.nii.gz with slices at the specs' depth order; depths not in
+        the manifest are zero."""
+        os.makedirs(out_dir, exist_ok=True)
+        depth = max(spec.depth for spec in specs) + 1
+        out = np.zeros((depth,) + volume.shape[1:], np.uint8)
+        for spec, sl in zip(specs, volume):
+            out[spec.depth] = sl
+        write_volume(os.path.join(out_dir, f"{case_id}.nii.gz"), out * 255)
+
     def write_case_tempmask(
         self, specs: Sequence[SliceSpec], volume: np.ndarray, net: int
     ) -> None:

@@ -279,13 +279,20 @@ def make_coteach_train_step(model, two_modal: bool, cfg: TrainConfig):
 
             def side(pre, out, order_other, pseudo_other, wmap_other):
                 clean = order_other[:k_clean]
-                suspect = order_other[k_clean:]
-                seg = jnp.mean(pre[clean]) + (1.0 - rate) * jnp.mean(pre[suspect])
-                cons_map = wmap_other * losses.multiclass_mse_loss(
-                    out, pseudo_other, reduction="none"
-                )
-                cons_img = jnp.mean(cons_map, axis=(1, 2, 3))
-                cons = jnp.mean(cons_img[suspect])
+                seg = jnp.mean(pre[clean])
+                if k_clean < b:
+                    # b and k_clean are static, so the empty-suspect case
+                    # (only b == 1, where k_clean == b) is resolved at trace
+                    # time — jnp.mean over an empty slice would be NaN.
+                    suspect = order_other[k_clean:]
+                    seg = seg + (1.0 - rate) * jnp.mean(pre[suspect])
+                    cons_map = wmap_other * losses.multiclass_mse_loss(
+                        out, pseudo_other, reduction="none"
+                    )
+                    cons_img = jnp.mean(cons_map, axis=(1, 2, 3))
+                    cons = jnp.mean(cons_img[suspect])
+                else:
+                    cons = jnp.asarray(0.0, seg.dtype)
                 return ct.seg_weight * seg + ct.consistency_weight * rate * cons
 
             loss1 = side(pre1, out1, order2, pseudo[1], wmap[1])

@@ -35,8 +35,8 @@ from aide_tpu.core import prng
 from aide_tpu.core.config import TrainConfig
 from aide_tpu.core.logging import record_params, setup_logging
 from aide_tpu.core.mesh import make_mesh, shard_batch
-from aide_tpu.core.registry import TASKS
 from aide_tpu.data.pipeline import SlicePipeline
+from aide_tpu.data.tasks import build_task
 from aide_tpu.engine import checkpoint as ckpt
 from aide_tpu.engine import steps as steps_mod
 from aide_tpu.engine.state import DualTrainState, TrainState
@@ -51,12 +51,7 @@ class Trainer:
         self.logger = logger or setup_logging(cfg.history_dir, cfg.experiment_name)
         record_params(self.logger, cfg)
 
-        self.task = task or TASKS.get(cfg.data.task)(
-            root=cfg.data.root,
-            tempmask_folder=cfg.data.tempmask_folder,
-            mask_identity=cfg.data.mask_identity,
-            **cfg.data.task_options,
-        )
+        self.task = task or build_task(cfg)
         self.two_modal = self.task.two_modal
         self.dual = cfg.data.variant == "proposed" and cfg.coteach.enabled
 
@@ -337,7 +332,9 @@ class Trainer:
             "history": list(self.history),
         }
 
-    def _maybe_checkpoint(self, epoch: int, avg_dice: float, test_metrics) -> bool:
+    def _maybe_checkpoint(
+        self, epoch: int, avg_dice: float, test_metrics, epoch_row=None
+    ) -> bool:
         cfg = self.cfg
         if cfg.ascending_checkpoint_gate and not self.ascending:
             if epoch > 0 and self.changepoint_dice < avg_dice:
@@ -357,9 +354,15 @@ class Trainer:
         }
         if not self.dual:
             # the reference's comparison trainers embed the epoch-metric
-            # history inside the checkpoint itself
-            # (trainchaos_comparison_1case.py:127-128,206-230)
-            meta["history"] = list(self.history)
+            # history inside the checkpoint itself, INCLUDING the best
+            # epoch's own row (trainchaos_comparison_1case.py:127-128,
+            # 206-230 appends before saving). run_epoch appends to
+            # self.history only after checkpointing, so the current row is
+            # passed in. full_meta's resume history (bookkeeping override
+            # below) intentionally omits it: resume replays this epoch.
+            meta["history"] = list(self.history) + (
+                [epoch_row] if epoch_row is not None else []
+            )
         # best-epoch artifacts (per-net exports + full state). The full
         # state REPLAYS this epoch's refresh + history row on resume
         # (next_epoch = epoch, both happen after this save); the end-of-run
@@ -445,7 +448,13 @@ class Trainer:
         else:
             avg_dice = case_means["traincase_dice1"]
 
-        self._maybe_checkpoint(epoch, avg_dice, test_m)
+        row_metrics = {
+            "epoch": epoch + 1,
+            **{f"train_{k}": v for k, v in train_m.items()},
+            **{f"test_{k}": v for k, v in test_m.items()},
+            **case_means,
+        }
+        self._maybe_checkpoint(epoch, avg_dice, test_m, epoch_row=row_metrics)
         phases["time_ckpt"] = time.time() - ts - sum(phases.values())
         if self.dual and self._is_refresh_epoch(epoch):
             self._refresh_labels(epoch, traincase)
@@ -453,10 +462,7 @@ class Trainer:
 
         dt = time.time() - ts
         row = {
-            "epoch": epoch + 1,
-            **{f"train_{k}": v for k, v in train_m.items()},
-            **{f"test_{k}": v for k, v in test_m.items()},
-            **case_means,
+            **row_metrics,
             **{k: round(v, 2) for k, v in phases.items()},
             "time": dt,
         }

@@ -11,7 +11,7 @@ metrics.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, Dict, List, Optional, Sequence, Union
 
 import numpy as np
 
@@ -93,6 +93,8 @@ def infer_cases(
         counts.append(len(idxs))
 
     n = len(all_idx)
+    if n == 0:
+        return []
     pad = (-n) % batch_size
     padded = np.asarray(all_idx + [all_idx[-1]] * pad)
 
@@ -154,7 +156,7 @@ def evaluate_cases(
     cases: Sequence[str],
     batch_size: int,
     dual: bool,
-    target_net: Optional[int] = None,
+    target_net: Union[int, str, None] = None,
     keep_largest_cc: bool = True,
     full_metrics: bool = False,
     keep_volumes: bool = False,
@@ -178,8 +180,11 @@ def evaluate_cases(
         per_case = []
         for case, vols in zip(cases, volumes):
             pred = vols[net]
-            if target_net == "self" and pipe.labels is not None:
-                target = pipe.case_targets(str(case), net=net + 1)
+            if target_net == "self":
+                # net k vs its own working labels; fall back to ground
+                # truth when the pipe carries no working labels
+                net_sel = (net + 1) if pipe.labels is not None else None
+                target = pipe.case_targets(str(case), net=net_sel)
             else:
                 target = pipe.case_targets(str(case), net=target_net)
             dice = _dice3d_np(pred, target)

@@ -9,6 +9,7 @@ schedules, plus the Adam(amsgrad) optimizer (:231-232).
 
 from __future__ import annotations
 
+import jax.numpy as jnp
 import optax
 
 from aide_tpu.core.config import OptimConfig
@@ -29,7 +30,11 @@ def make_lr_schedule(cfg: OptimConfig, steps_per_epoch: int, num_epochs: int):
 
         def schedule(count):
             epoch = count // spe
-            frac = 1.0 - (epoch % num_epochs) / float(num_epochs)
+            # The reference wraps with (epoch % max), snapping the LR back
+            # to full base rate when training runs past the schedule length
+            # (poly_lr_scheduler.py:47). Documented defect, not replicated:
+            # clamp instead so the LR decays monotonically to 0 and stays.
+            frac = jnp.maximum(0.0, 1.0 - epoch / float(num_epochs))
             return cfg.lr * (frac ** cfg.poly_power)
 
     elif cfg.lr_policy in ("None", "none", ""):

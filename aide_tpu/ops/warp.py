@@ -182,9 +182,7 @@ def _shear(
     pos_shape = [1] * v.ndim
     pos_shape[axis] = n
     pos = jnp.arange(n, dtype=jnp.int32).reshape(pos_shape)
-    k_b = kint.reshape(
-        (b, m, 1, 1) if axis == 2 else (b, 1, m, 1)
-    ) if False else kint.reshape([b] + [m if i == other else 1 for i in (1, 2)] + [1])
+    k_b = kint.reshape([b] + [m if i == other else 1 for i in (1, 2)] + [1])
     src0 = pos + k_b
     valid0 = (src0 >= 0) & (src0 <= n - 1)
     valid1 = (src0 + 1 >= 0) & (src0 + 1 <= n - 1)

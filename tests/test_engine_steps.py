@@ -167,3 +167,32 @@ class TestEvalPredict:
         ev = steps.make_eval_step(model, False, cfg, dual=False)
         m = ev(state, make_batch(dual=False))
         assert np.isfinite(float(m["loss"]))
+
+
+class TestEdgeCases:
+    def test_coteach_batch_one_finite(self, setup):
+        """bs=1 makes the suspect half empty (k_clean==b); the step must
+        stay finite instead of producing NaN via a mean over zero images."""
+        cfg, model, tx, v1, v2 = setup
+        state = DualTrainState.create(v1, v2, tx)
+        step = steps.make_coteach_train_step(model, False, cfg)
+        batch = make_batch(b=1, dual=True)
+        new_state, m = step(state, batch, jax.random.key(0), jnp.asarray(0.5))
+        assert np.isfinite(float(m["loss1"]))
+        assert np.isfinite(float(m["loss2"]))
+        leaves = jax.tree_util.tree_leaves(new_state.params)
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+
+
+def test_polylr_no_wraparound():
+    """Past num_epochs the LR must stay decayed (clamped at 0), not snap
+    back to base rate (the reference's epoch%max defect, documented in
+    ops/schedules.py)."""
+    from aide_tpu.core.config import OptimConfig
+    from aide_tpu.ops.schedules import make_lr_schedule
+
+    cfg = OptimConfig(lr_policy="PolyLR", lr=0.1)
+    sched = make_lr_schedule(cfg, steps_per_epoch=1, num_epochs=10)
+    assert float(sched(9)) > 0.0
+    assert float(sched(10)) == 0.0   # epoch == num_epochs
+    assert float(sched(15)) == 0.0   # and stays there

@@ -228,7 +228,7 @@ class TestTaskOptions:
             TrainConfig().override(["data.task_options={style: xhard}"])
 
     def test_options_reach_the_synthetic_task(self, tmp_path):
-        from aide_tpu.cli.main import _maybe_synthetic_task
+        from aide_tpu.data.tasks import build_task
 
         cfg = TrainConfig().override(
             [
@@ -238,7 +238,7 @@ class TestTaskOptions:
                 ' "slices_per_case": 2, "two_modal": true}',
             ]
         )
-        task = _maybe_synthetic_task(cfg)
+        task = build_task(cfg)
         assert task.style == "hard"
         assert task.num_cases == 3
         assert task.slices_per_case == 2

@@ -227,3 +227,54 @@ def test_prostate_trainer_one_epoch(prostate_root, tmp_path):
     assert os.path.isdir(gen) and any(
         f.endswith(".nrrd") for f in os.listdir(gen)
     )
+
+
+# ----------------------- native prediction output -----------------------
+
+
+class TestWriteCasePredictions:
+    def test_kidney_native_nifti(self, kidney_root, tmp_path):
+        """predict output for kidney is per-image .nii.gz (the dataset's
+        native mask convention), not PNG."""
+        root, csv = kidney_root
+        task = KidneyTask(root=root, tempmask_folder="tmp", mask_identity=1)
+        specs = task.load_manifest(csv, train=True)
+        case = specs[0].case_id
+        case_specs = [s for s in specs if s.case_id == case]
+        vol = np.ones((len(case_specs), 8, 8), np.uint8)
+        out = str(tmp_path / "preds")
+        task.write_case_predictions(out, case, case_specs, vol)
+        stem = os.path.basename(case_specs[0].image_paths[0]).split(".")[0]
+        path = os.path.join(out, str(case), f"{stem}.nii.gz")
+        assert os.path.exists(path)
+        back = nifti.read_nifti(path)
+        assert back.shape[-2:] == (8, 8)
+        assert set(np.unique(back)) <= {0, 255}
+
+    def test_prostate_whole_case_volume(self, prostate_root, tmp_path):
+        root, csv = prostate_root
+        task = ProstateTask(root=root, tempmask_folder="tmp")
+        specs = task.load_manifest(csv, train=True)
+        case = specs[0].case_id
+        case_specs = [s for s in specs if s.case_id == case]
+        vol = np.stack(
+            [np.full((8, 8), i % 2, np.uint8) for i in range(len(case_specs))]
+        )
+        out = str(tmp_path / "preds")
+        task.write_case_predictions(out, case, case_specs, vol)
+        path = os.path.join(out, f"{case}.nii.gz")
+        assert os.path.exists(path)
+        back = nifti.read_nifti(path)
+        assert back.shape[0] == max(s.depth for s in case_specs) + 1
+        assert np.array_equal((back[0] > 0).astype(np.uint8), vol[0])
+
+
+def test_infer_cases_empty_case_list(tmp_path):
+    """infer_cases([]) returns [] instead of IndexError on the pad fill."""
+    from aide_tpu.evaluation.case_eval import infer_cases
+
+    out = infer_cases(
+        predict_step=None, state=None, pipe=None, cases=[], batch_size=4,
+        dual=False,
+    )
+    assert out == []

@@ -251,3 +251,28 @@ class TestRunFlushErrorSemantics:
         tr2.flush_checkpoints = failing_flush
         with pytest.raises(RuntimeError, match="step exploded"):
             tr2.run(1)
+
+
+@pytest.mark.slow
+def test_comparison_meta_history_includes_best_epoch(tmp_path):
+    """The reference's comparison trainers append the epoch's metrics to
+    history BEFORE saving (trainchaos_comparison_1case.py:206-230); the
+    embedded checkpoint history must therefore contain the best epoch's own
+    row."""
+    import json
+
+    tr = make_trainer(tmp_path, variant="comparison", noisy=0.0)
+    tr.run(2)
+    tr.flush_checkpoints()
+    dirpath = tr.cfg.checkpoint_dir
+    meta_files = [
+        f for f in os.listdir(dirpath)
+        if f.endswith("besttraincasedice.msgpack.json")
+    ]
+    assert meta_files, os.listdir(dirpath)
+    with open(os.path.join(dirpath, meta_files[0])) as fh:
+        meta = json.load(fh)
+    hist = meta["history"]
+    assert hist, "embedded history must not be empty"
+    assert hist[-1]["epoch"] == meta["epoch"]
+    assert "test_loss" in hist[-1] or "test_loss1" in hist[-1]
