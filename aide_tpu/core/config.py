@@ -277,10 +277,24 @@ def _coerce(raw: str, prev: Any) -> Any:
     return raw
 
 
+# Knobs that existed in earlier revisions and may appear in saved configs
+# (checkpoint resume across versions); loaders skip them silently instead of
+# rejecting the whole file.
+REMOVED_KEYS = frozenset({"slice_bucket"})
+
+
 def _build(cls, d: dict):
-    """Recursively build nested dataclasses from a plain dict."""
+    """Recursively build nested dataclasses from a plain dict. Unknown keys
+    raise — a typo'd field in a saved/hand-written config JSON must not
+    silently train with the default (override() already raises; the two
+    load paths must agree). REMOVED_KEYS are the one exception."""
     import typing
 
+    unknown = set(d) - {f.name for f in dataclasses.fields(cls)} - REMOVED_KEYS
+    if unknown:
+        raise KeyError(
+            f"{cls.__name__}: unknown config keys {sorted(unknown)}"
+        )
     hints = typing.get_type_hints(cls)
     kwargs = {}
     for f in dataclasses.fields(cls):

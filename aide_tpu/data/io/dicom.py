@@ -42,6 +42,18 @@ _SUPPORTED_SYNTAXES = {
     "1.2.840.10008.1.2.1",    # explicit VR LE
 }
 
+# Implicit-VR files carry no VR bytes; the VR comes from the data
+# dictionary. Only the binary VRs need entries — every other tag we
+# materialize (DS/IS/UI/PN) decodes correctly via the string fallback.
+_IMPLICIT_VRS = {
+    (0x0028, 0x0010): b"US",  # Rows
+    (0x0028, 0x0011): b"US",  # Columns
+    (0x0028, 0x0100): b"US",  # BitsAllocated
+    (0x0028, 0x0101): b"US",  # BitsStored
+    (0x0028, 0x0103): b"US",  # PixelRepresentation
+    (0x0028, 0x0002): b"US",  # SamplesPerPixel
+}
+
 
 @dataclass
 class DicomFile:
@@ -146,7 +158,7 @@ def read_dicom(path: str) -> DicomFile:
                 length = struct.unpack("<H", data[i + 6 : i + 8])[0]
                 hdr = 8
         else:
-            vr = b"UN"
+            vr = _IMPLICIT_VRS.get((group, elem), b"UN")
             length = struct.unpack("<I", data[i + 4 : i + 8])[0]
             hdr = 8
 

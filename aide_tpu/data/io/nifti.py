@@ -73,6 +73,12 @@ def read_nifti(path: str) -> np.ndarray:
     # NIfTI data is x-fastest; reshape Fortran-style then reverse to (z,y,x)
     arr = arr.reshape(shape_xyz, order="F")
     arr = np.transpose(arr, tuple(range(arr.ndim))[::-1])
+    # NaN slope/inter mean "no scaling" (common in real headers); without
+    # the finiteness guard arr*NaN would silently corrupt the whole volume
+    if not np.isfinite(scl_slope):
+        scl_slope = 0.0
+    if not np.isfinite(scl_inter):
+        scl_inter = 0.0
     if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
         slope = scl_slope if scl_slope != 0.0 else 1.0
         arr = arr.astype(np.float32) * slope + scl_inter

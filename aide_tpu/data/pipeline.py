@@ -269,7 +269,8 @@ class SlicePipeline:
             # multi-hundred-MB dead npz files in cache_dir.
             id_key = hashlib.sha1(
                 "|".join(
-                    [repr(s) for s in self.specs]
+                    [task.decode_fingerprint()]
+                    + [repr(s) for s in self.specs]
                     + [str(img_size), str(data_mean), str(data_std)]
                 ).encode()
             ).hexdigest()[:16]

@@ -40,10 +40,12 @@ def resize_image(arr: np.ndarray, size: int) -> np.ndarray:
     return np.asarray(img, dtype=np.float32)
 
 
-def resize_mask(mask: np.ndarray, size: int) -> np.ndarray:
-    """Nearest-neighbour mask resize (transform.py:57-58)."""
+def resize_mask(mask: np.ndarray, size) -> np.ndarray:
+    """Nearest-neighbour mask resize (transform.py:57-58). ``size`` is a
+    square edge length or an (H, W) pair."""
+    h, w = (size, size) if isinstance(size, int) else size
     img = Image.fromarray(mask.astype(np.uint8))
-    img = img.resize((size, size), Image.NEAREST)
+    img = img.resize((w, h), Image.NEAREST)
     return np.asarray(img, dtype=np.uint8)
 
 
@@ -68,7 +70,17 @@ class Task:
     num_classes: int = 2
     tempmask_ext: str = "png"
 
-    def __init__(self, root: str, tempmask_folder: str = "", **kw):
+    def __init__(
+        self, root: str, tempmask_folder: str = "", mask_identity=None, **kw
+    ):
+        # mask_identity is config-level (build_task passes it to every task
+        # uniformly); only KidneyTask consumes it. Anything else unknown is
+        # a typo'd data.task_options entry — reject instead of silently
+        # training with defaults (same contract as SyntheticTask's check).
+        if kw:
+            raise TypeError(
+                f"{type(self).__name__}: unknown task options {sorted(kw)}"
+            )
         self.root = root
         self.tempmask_folder = tempmask_folder
 
@@ -89,6 +101,13 @@ class Task:
         """Returns (images, mask): images are float32 (H, W, 3) in [0, 255];
         mask is (H, W) uint8 {0, 1}."""
         raise NotImplementedError
+
+    def decode_fingerprint(self) -> str:
+        """Identifies every task-level parameter that changes ``decode()``
+        output for identical specs. Folded into SlicePipeline's decode-cache
+        key so a warm on-disk cache can never serve arrays decoded under
+        different settings (tasks with such knobs override)."""
+        return type(self).__name__
 
     # ---- temp-label (refreshed working label) disk mirror ----
     def tempmask_path(self, spec: SliceSpec, net: int) -> str:

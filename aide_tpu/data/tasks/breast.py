@@ -27,7 +27,7 @@ class BreastTask(Task):
     two_modal = False
 
     def __init__(self, root: str, tempmask_folder: str = "", **kw):
-        super().__init__(root, tempmask_folder)
+        super().__init__(root, tempmask_folder, **kw)
         self._cache: Dict[str, np.ndarray] = {}
 
     def _volume(self, rel: str) -> np.ndarray:

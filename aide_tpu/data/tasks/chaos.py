@@ -41,8 +41,11 @@ class ChaosTask(Task):
     two_modal = True
 
     def __init__(self, root: str, tempmask_folder: str = "", window: str = "clip255", **kw):
-        super().__init__(root, tempmask_folder)
+        super().__init__(root, tempmask_folder, **kw)
         self.window = window
+
+    def decode_fingerprint(self) -> str:
+        return f"ChaosTask:window={self.window}"
 
     # ---- manifest ----
     def load_manifest(self, csv_path: str, train: bool = True) -> List[SliceSpec]:

@@ -34,7 +34,7 @@ class KidneyTask(Task):
     tempmask_ext = "nii.gz"
 
     def __init__(self, root: str, tempmask_folder: str = "", mask_identity: int = 1, **kw):
-        super().__init__(root, tempmask_folder)
+        super().__init__(root, tempmask_folder, **kw)
         self.mask_identity = int(mask_identity)
 
     # ---- manifest ----

@@ -21,7 +21,7 @@ import pandas as pd
 
 from aide_tpu.core.registry import TASKS
 from aide_tpu.data.io import nifti, nrrd
-from aide_tpu.data.tasks.base import SliceSpec, Task, gray_to_rgb
+from aide_tpu.data.tasks.base import SliceSpec, Task, gray_to_rgb, resize_mask
 
 
 def read_volume(path: str) -> np.ndarray:
@@ -44,7 +44,7 @@ class ProstateTask(Task):
     two_modal = False
 
     def __init__(self, root: str, tempmask_folder: str = "", **kw):
-        super().__init__(root, tempmask_folder)
+        super().__init__(root, tempmask_folder, **kw)
         self._cache: Dict[str, np.ndarray] = {}
 
     def _volume(self, rel_path: str) -> np.ndarray:
@@ -126,11 +126,16 @@ class ProstateTask(Task):
         self, specs: Sequence[SliceSpec], volume: np.ndarray, net: int
     ) -> None:
         # specs address depths of one mask volume; scatter slices into a
-        # full-size volume (unrefreshed depths keep the current labels)
+        # full-size volume (unrefreshed depths keep the current labels).
+        # Refreshed slices arrive at cfg.data.img_size; the disk mirror is
+        # the only task whose convention keeps the NATIVE volume resolution,
+        # so resize before scattering (LabelStore resizes back on read).
         mask_rel = specs[0].mask_path
         full = self._volume(mask_rel)
         out = (full > 0).astype(np.uint8)
         for spec, sl in zip(specs, volume):
+            if sl.shape != out.shape[1:]:
+                sl = resize_mask(sl, out.shape[1:])
             out[spec.depth] = sl
         path = self.tempmask_path_case(mask_rel, net)
         self._ensure_dir(path)

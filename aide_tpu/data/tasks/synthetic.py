@@ -282,6 +282,19 @@ class SyntheticTask(Task):
                 i += 1
         return specs
 
+    def decode_fingerprint(self) -> str:
+        # every generator knob that alters pixels/labels without changing
+        # the spec list (the spec paths are virtual, so the pipeline's
+        # file-stat signature can't see these)
+        return (
+            f"SyntheticTask:style={self.style},seed={self.seed},"
+            f"size={self.size},two_modal={self.two_modal},"
+            f"noisy_fraction={self.noisy_fraction},"
+            f"clean_cases={self.clean_cases},"
+            f"noise_shift_divisor={self.noise_shift_divisor},"
+            f"num_classes={self.num_classes}"
+        )
+
     # ---- decode ----
     def decode(self, spec: SliceSpec) -> Tuple[Tuple[np.ndarray, ...], np.ndarray]:
         geom: dict = {}

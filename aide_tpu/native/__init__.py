@@ -26,6 +26,13 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
+def _src_digest() -> str:
+    import hashlib
+
+    with open(_SRC, "rb") as fh:
+        return hashlib.sha1(fh.read()).hexdigest()
+
+
 def _build() -> bool:
     try:
         subprocess.run(
@@ -37,8 +44,24 @@ def _build() -> bool:
             capture_output=True,
             timeout=120,
         )
+        with open(_LIB_PATH + ".sha1", "w") as fh:
+            fh.write(_src_digest())
         return True
     except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def _lib_current() -> bool:
+    """True iff the cached .so was built from the current source. A hash
+    sidecar instead of mtime comparison: checkouts/copies give source and
+    library indistinguishable mtimes, and the .so is built -march=native,
+    so running a stale or foreign binary must be impossible."""
+    if not os.path.exists(_LIB_PATH):
+        return False
+    try:
+        with open(_LIB_PATH + ".sha1") as fh:
+            return fh.read().strip() == _src_digest()
+    except OSError:
         return False
 
 
@@ -49,12 +72,10 @@ def load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB_PATH) or (
-            os.path.exists(_SRC)
-            and os.path.getmtime(_SRC) > os.path.getmtime(_LIB_PATH)
-        ):
-            if not os.path.exists(_SRC) or not _build():
-                return None
+        if not os.path.exists(_SRC):
+            return None
+        if not _lib_current() and not _build():
+            return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:

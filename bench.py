@@ -133,7 +133,10 @@ def time_bare_steps(trainer, cfg, iters=16):
     batch = trainer._shard(
         trainer.train_pipe.batch_at(np.arange(cfg.data.batch_size))
     )
-    rate = jnp.asarray(0.5)
+    # strong float32 to match the epoch loop's jnp.asarray(rate, float32) —
+    # a weak-typed scalar is a different jit signature and would recompile
+    # the whole dual-net step (1-2 min remote compile)
+    rate = jnp.asarray(0.5, jnp.float32)
     key = jax.random.key(123)
     state = trainer.state  # donated per call; thread it through
 

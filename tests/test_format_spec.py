@@ -107,6 +107,17 @@ class TestNiftiSpec:
         with pytest.raises(ValueError, match="magic"):
             read_nifti(str(p))
 
+    def test_nan_slope_means_no_scaling(self, tmp_path):
+        # many tools write scl_slope=NaN for "no scaling"; the volume must
+        # come back untouched, not all-NaN
+        p = tmp_path / "nan.nii"
+        p.write_bytes(
+            _nifti_bytes(3, 2, 4, scl_slope=float("nan"), scl_inter=float("nan"))
+        )
+        arr = read_nifti(str(p))
+        assert np.isfinite(arr).all()
+        assert arr[1, 1, 2] == _value(2, 1, 1)
+
 
 class TestNrrdSpec:
     def _hdr(self, lines):
@@ -183,3 +194,56 @@ class TestNrrdSpec:
         p.write_bytes(b"PNG\n\n")
         with pytest.raises(ValueError, match="not an NRRD"):
             read_nrrd(str(p))
+
+
+# ------------------------------ DICOM ------------------------------
+
+
+def _dicom_element_explicit(group, elem, vr, value):
+    out = struct.pack("<HH", group, elem) + vr
+    if vr in (b"OB", b"OW", b"UN", b"SQ", b"UT"):
+        return out + b"\x00\x00" + struct.pack("<I", len(value)) + value
+    return out + struct.pack("<H", len(value)) + value
+
+
+def _dicom_element_implicit(group, elem, value):
+    return struct.pack("<HHI", group, elem, len(value)) + value
+
+
+def _implicit_vr_dicom(rows=4, cols=3):
+    """Implicit-VR little-endian part-10 file built from PS3.5: the file
+    meta group stays explicit VR; the dataset carries no VR bytes, so the
+    reader must take binary VRs (US) from its data dictionary."""
+    ts = b"1.2.840.10008.1.2\x00"  # implicit VR LE, padded even
+    meta = _dicom_element_explicit(0x0002, 0x0010, b"UI", ts)
+    pixels = np.arange(rows * cols, dtype=np.uint16) * 7
+    body = b"".join(
+        [
+            _dicom_element_implicit(0x0028, 0x0002, struct.pack("<H", 1)),
+            _dicom_element_implicit(0x0028, 0x0010, struct.pack("<H", rows)),
+            _dicom_element_implicit(0x0028, 0x0011, struct.pack("<H", cols)),
+            _dicom_element_implicit(0x0028, 0x0100, struct.pack("<H", 16)),
+            _dicom_element_implicit(0x0028, 0x0103, struct.pack("<H", 0)),
+            _dicom_element_implicit(0x0028, 0x0030, b"1.5\\1.5 "),
+            _dicom_element_implicit(0x0028, 0x1053, b"2.0 "),
+            _dicom_element_implicit(0x0028, 0x1052, b"-1.0"),
+            _dicom_element_implicit(0x7FE0, 0x0010, pixels.tobytes()),
+        ]
+    )
+    return b"\x00" * 128 + b"DICM" + meta + body, pixels.reshape(rows, cols)
+
+
+class TestDicomImplicitVR:
+    def test_binary_tags_decode_via_dictionary(self, tmp_path):
+        from aide_tpu.data.io.dicom import read_dicom
+
+        blob, expect = _implicit_vr_dicom()
+        p = tmp_path / "im.dcm"
+        p.write_bytes(blob)
+        d = read_dicom(str(p))
+        assert d.rows == 4 and d.columns == 3
+        assert int(d.tags["BitsAllocated"]) == 16
+        assert np.array_equal(d.pixel_array, expect)
+        assert d.pixel_spacing == (1.5, 1.5)
+        # string VRs (DS) still decode via the fallback
+        assert d.rescaled_array[0, 1] == pytest.approx(2.0 * 7 - 1.0)

@@ -257,3 +257,32 @@ class TestTaskOptionsValidation:
         t = SyntheticTask(num_cases=2, slices_per_case=2, size=16,
                           test_case_offset=100, num_test_cases=3)
         assert t.test_case_offset == 100 and t.num_test_cases == 3
+
+    def test_unknown_option_raises_on_real_tasks(self):
+        # the strictness lives in the Task base, so chaos/prostate/kidney/
+        # breast reject typos too (not just SyntheticTask)
+        from aide_tpu.data.tasks.chaos import ChaosTask
+
+        with pytest.raises(TypeError, match="widnow"):
+            ChaosTask(root=".", widnow="max")
+
+    def test_mask_identity_accepted_by_all_tasks(self):
+        # build_task passes mask_identity to every task uniformly; only
+        # kidney consumes it, the rest must accept-and-ignore
+        from aide_tpu.data.tasks.chaos import ChaosTask
+
+        ChaosTask(root=".", mask_identity=2)
+
+
+class TestConfigFileValidation:
+    def test_from_dict_unknown_key_raises(self):
+        d = TrainConfig().to_dict()
+        d["optim"]["learning_rate"] = 3e-4  # typo for lr
+        with pytest.raises(KeyError, match="learning_rate"):
+            TrainConfig.from_dict(d)
+
+    def test_from_dict_unknown_top_level_raises(self):
+        d = TrainConfig().to_dict()
+        d["optimizer"] = {}
+        with pytest.raises(KeyError, match="optimizer"):
+            TrainConfig.from_dict(d)

@@ -88,6 +88,24 @@ class TestPipeline:
         assert np.array_equal(p1.targets, p2.targets)
         assert p1.cases == p2.cases
 
+    def test_decode_cache_keyed_by_task_fingerprint(self, tmp_path):
+        """Task-level decode knobs (synthetic generator params, chaos
+        window) change decode() output without changing the spec list; the
+        warm cache must not serve arrays generated under other settings."""
+        from aide_tpu.data.tasks.synthetic import SyntheticTask
+
+        cache = str(tmp_path / "decode_cache")
+        kw = dict(num_cases=2, slices_per_case=2, size=24)
+        t1 = SyntheticTask(seed=0, **kw)
+        p1 = SlicePipeline(
+            t1, t1.load_manifest(train=True), img_size=24, cache_dir=cache
+        )
+        t2 = SyntheticTask(seed=1, **kw)  # same specs, different pixels
+        p2 = SlicePipeline(
+            t2, t2.load_manifest(train=True), img_size=24, cache_dir=cache
+        )
+        assert not np.array_equal(p1.images[0], p2.images[0])
+
     def test_fixed_normalization(self, task):
         specs = task.load_manifest(train=True)
         p = SlicePipeline(

@@ -67,6 +67,32 @@ class TestProstate:
         )
         assert pipe2.labels.get(1)[idxs[0]].min() == 1
 
+    def test_tempmask_refresh_at_non_native_img_size(self, prostate_root):
+        """Refreshed slices arrive at cfg.data.img_size; the prostate disk
+        mirror keeps the NATIVE volume resolution (here 32), so the scatter
+        must resize instead of crashing on shape mismatch."""
+        root, csv = prostate_root
+        task = ProstateTask(root=root, tempmask_folder="tempmasks")
+        specs = task.load_manifest(csv, train=True)
+        pipe = SlicePipeline(task, specs, img_size=16, working_labels=True)
+        idxs = pipe.case_indices("CaseA")
+        newvol = np.zeros((4, 16, 16), np.uint8)
+        newvol[:, 4:12, 4:12] = 1
+        pipe.labels.refresh_case(1, idxs, newvol)
+        path = os.path.join(root, "tempmasks", "CaseA_mask_net1.nrrd")
+        assert os.path.exists(path)
+        native = nrrd.read_nrrd(path)[0]
+        assert native.shape == (4, 32, 32)  # written at native resolution
+        # center foreground survives the 16 -> 32 -> 16 round trip
+        pipe2 = SlicePipeline(
+            ProstateTask(root=root, tempmask_folder="tempmasks"),
+            task.load_manifest(csv, train=True),
+            img_size=16,
+            working_labels=True,
+        )
+        got = pipe2.labels.get(1)[idxs[0]]
+        assert got[8, 8] == 1 and got[0, 0] == 0
+
     def test_max_normalization_floor(self, prostate_root):
         root, csv = prostate_root
         task = ProstateTask(root=root)
