@@ -17,7 +17,6 @@ from flax import linen as nn
 from aide_tpu.core.registry import MODELS
 from aide_tpu.models import blocks
 from aide_tpu.models.blocks import (
-    ConvBlock,
     DownBlock,
     SpatialAttention,
     UpBlock,

@@ -59,8 +59,11 @@ def coteach_drop_image(
     l2 = _per_image_ce_dice(logits2, targets, weight)
     idx1 = jnp.argsort(l1)[:k]
     idx2 = jnp.argsort(l2)[:k]
-    loss1 = jnp.mean(_per_image_ce_dice(logits1[idx2], targets[idx2], weight))
-    loss2 = jnp.mean(_per_image_ce_dice(logits2[idx1], targets[idx1], weight))
+    # the per-image loss vector is already computed for the ranking and
+    # depends only on its own image, so the kept-set loss (and its gradient)
+    # is a gather of it — no second CE+Dice pass over gathered feature maps
+    loss1 = jnp.mean(l1[idx2])
+    loss2 = jnp.mean(l2[idx1])
     return loss1, loss2
 
 
@@ -81,16 +84,15 @@ def coteach_weight_image(
     order1 = jnp.argsort(l1)
     order2 = jnp.argsort(l2)
 
-    def side(logits, order):
+    def side(lvec, order):
+        # reuse the ranking vector (per-image loss; see coteach_drop_image)
         keep, drop = order[:k], order[k:]
-        loss = jnp.mean(_per_image_ce_dice(logits[keep], targets[keep], weight))
+        loss = jnp.mean(lvec[keep])
         if n - k > 0:
-            loss = loss + drop_weight * jnp.mean(
-                _per_image_ce_dice(logits[drop], targets[drop], weight)
-            )
+            loss = loss + drop_weight * jnp.mean(lvec[drop])
         return loss
 
-    return side(logits1, order2), side(logits2, order1)
+    return side(l1, order2), side(l2, order1)
 
 
 def coteach_drop_region_ce(
@@ -107,6 +109,10 @@ def coteach_drop_region_ce(
     b, h, w, c = logits1.shape
     ph, pw = int(h * scale), int(w * scale)
     kh, kw = h // ph, w // pw
+    # the reference pools with ceil_mode=True (coteach_loss.py:174), so a
+    # trailing partial window contributes a patch; -inf padding on the high
+    # edge reproduces that exactly (padded slots are the max identity)
+    pad_h, pad_w = (-h) % kh, (-w) % kw
 
     def pool(x, is_label=False):
         if is_label:
@@ -117,7 +123,7 @@ def coteach_drop_region_ce(
             jax.lax.max,
             (1, kh, kw, 1),
             (1, kh, kw, 1),
-            "VALID",
+            ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
         )
         return r[..., 0].astype(jnp.int32) if is_label else r
 
@@ -174,8 +180,9 @@ def coteach_drop_image_drop_pixel(
     keep1, drop1 = order1[:k], order1[k:]
     keep2, drop2 = order2[:k], order2[k:]
 
-    loss1 = jnp.mean(_per_image_ce_dice(logits1[keep2], targets[keep2], weight))
-    loss2 = jnp.mean(_per_image_ce_dice(logits2[keep1], targets[keep1], weight))
+    # reuse the ranking vectors (see coteach_drop_image)
+    loss1 = jnp.mean(l1[keep2])
+    loss2 = jnp.mean(l2[keep1])
 
     remember_rate = 1.0 - forget_rate
 

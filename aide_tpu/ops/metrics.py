@@ -42,26 +42,9 @@ def _binarize_target(targets: jnp.ndarray) -> jnp.ndarray:
     return (targets > 0).astype(jnp.float32)
 
 
-def dice_fn(logits: jnp.ndarray, targets: jnp.ndarray, threshold: float = 0.5) -> jnp.ndarray:
-    """Batch-summed thresholded Dice (Dice_fn, metrics2d.py:8-29)."""
-    pred = _binarize_fg(logits, threshold)
-    n = pred.shape[0]
-    iflat = pred.reshape(n, -1)
-    tflat = _binarize_target(targets).reshape(n, -1)
-    inter = jnp.sum(iflat * tflat, axis=1)
-    isum = jnp.sum(iflat, axis=1)
-    tsum = jnp.sum(tflat, axis=1)
-    dice = jnp.where(
-        tsum == 0,
-        jnp.where(isum == 0, 1.0, 0.0),
-        2.0 * inter / jnp.maximum(isum + tsum, 1e-12),
-    )
-    return jnp.sum(dice)
-
-
-def dice_fn_nozero(logits: jnp.ndarray, targets: jnp.ndarray, threshold: float = 0.5):
-    """Dice sum + count of images that are not trivially-empty matches
-    (Dice_fn_Nozero, metrics2d.py:31-52)."""
+def _dice_vector(logits: jnp.ndarray, targets: jnp.ndarray, threshold: float):
+    """Per-image thresholded Dice plus the not-trivially-empty flag shared
+    by dice_fn / dice_fn_nozero (one definition of the empty-mask rules)."""
     pred = _binarize_fg(logits, threshold)
     n = pred.shape[0]
     iflat = pred.reshape(n, -1)
@@ -75,18 +58,36 @@ def dice_fn_nozero(logits: jnp.ndarray, targets: jnp.ndarray, threshold: float =
         2.0 * inter / jnp.maximum(isum + tsum, 1e-12),
     )
     counted = jnp.where((tsum == 0) & (isum == 0), 0, 1)
+    return dice, counted
+
+
+def dice_fn(logits: jnp.ndarray, targets: jnp.ndarray, threshold: float = 0.5) -> jnp.ndarray:
+    """Batch-summed thresholded Dice (Dice_fn, metrics2d.py:8-29)."""
+    dice, _ = _dice_vector(logits, targets, threshold)
+    return jnp.sum(dice)
+
+
+def dice_fn_nozero(logits: jnp.ndarray, targets: jnp.ndarray, threshold: float = 0.5):
+    """Dice sum + count of images that are not trivially-empty matches
+    (Dice_fn_Nozero, metrics2d.py:31-52)."""
+    dice, counted = _dice_vector(logits, targets, threshold)
     return jnp.sum(dice), jnp.sum(counted)
 
 
 def iou_fn(logits: jnp.ndarray, targets: jnp.ndarray, threshold: float = 0.5) -> jnp.ndarray:
-    """Batch-summed thresholded IoU (IoU_fn, metrics2d.py:72-84)."""
+    """Batch-summed thresholded IoU (IoU_fn, metrics2d.py:72-84).
+
+    Deviation, documented: the reference's 0/0 on a both-empty image is NaN
+    (poisoning the batch sum); here a both-empty image scores 1.0 — the same
+    perfect-match convention dice_fn uses."""
     pred = _binarize_fg(logits, threshold)
     n = pred.shape[0]
     iflat = pred.reshape(n, -1)
     tflat = _binarize_target(targets).reshape(n, -1)
     inter = jnp.sum(iflat * tflat, axis=1)
     union = jnp.sum(iflat, axis=1) + jnp.sum(tflat, axis=1) - inter
-    return jnp.sum(inter / jnp.maximum(union, 1e-12))
+    iou = jnp.where(union == 0, 1.0, inter / jnp.maximum(union, 1e-12))
+    return jnp.sum(iou)
 
 
 def tp_tn_fp_fn(logits: jnp.ndarray, targets: jnp.ndarray, threshold: float = 0.5):

@@ -135,6 +135,12 @@ def warp_rotate_flip(
     images (B, H, W, C); degrees/hflip (B,); fill scalar | (C,) | (B, C).
     """
     b, h, w, c = images.shape
+    if h != w:
+        # the 90-degree composition transposes the canvas; warp.augment /
+        # warp.invert route non-square inputs to the gather path instead
+        raise ValueError(
+            f"warp_rotate_flip needs a square image, got H={h}, W={w}"
+        )
     dtype = images.dtype
 
     deg = degrees.astype(jnp.float32)

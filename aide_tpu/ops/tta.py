@@ -55,8 +55,8 @@ def make_views(
     rep = jnp.broadcast_to(images[None], (v,) + images.shape)
     flat = rep.reshape((v * b,) + images.shape[1:])
     fill_flat = fill
-    if isinstance(fill, jnp.ndarray) and fill.ndim == 2:  # (B, C) -> (V*B, C)
-        fill_flat = jnp.tile(fill, (v, 1))
+    if jnp.ndim(fill) == 2:  # (B, C) -> (V*B, C); dtype-agnostic (np or jnp)
+        fill_flat = jnp.tile(jnp.asarray(fill), (v, 1))
     out = warp.augment(flat, degrees.reshape(-1), hflip.reshape(-1), fill_flat)
     return out.reshape((v, b) + images.shape[1:])
 

@@ -244,9 +244,16 @@ def _fill_arr(fill, b: int, c: int, dtype) -> jnp.ndarray:
     return jnp.broadcast_to(f, (b, 1, 1, c)).astype(dtype)
 
 
-def _resolve_method(method: str) -> str:
+def _resolve_method(method: str, shape=None) -> str:
     """'auto' -> the fused Pallas kernel on TPU, the XLA shear path on CPU
-    (where the kernel would only run interpreted)."""
+    (where the kernel would only run interpreted).
+
+    Non-square images route to the gather path: the 3-shear formulation
+    composes rotations > 45 degrees from an exact 90-degree rotation, which
+    transposes the canvas — only a square canvas keeps the batch shape
+    static. Every shipped task is square; this keeps the API total."""
+    if shape is not None and shape[1] != shape[2] and method != "gather":
+        return "gather"
     if method != "auto":
         return method
     return "pallas" if jax.default_backend() != "cpu" else "shear"
@@ -260,7 +267,7 @@ def augment(
     method: str = "auto",
 ) -> jnp.ndarray:
     """Forward augmentation: rotate by ``degrees`` then horizontally flip."""
-    method = _resolve_method(method)
+    method = _resolve_method(method, images.shape)
     if method == "gather":
         return sample_affine(images, aug_matrices(degrees, hflip), fill)
     if method == "pallas":
@@ -282,7 +289,7 @@ def invert(
     method: str = "auto",
 ) -> jnp.ndarray:
     """Inverse augmentation applied to predicted maps (un-flip, un-rotate)."""
-    method = _resolve_method(method)
+    method = _resolve_method(method, maps.shape)
     if method == "gather":
         return sample_affine(maps, inverse_matrices(degrees, hflip), fill)
     if method == "pallas":

@@ -144,3 +144,38 @@ class TestMulticlassWeightmap:
         wc = float(tta.confidence_weightmap(certain)[0, 0, 0, 0])
         assert wu < 0.01
         assert wc > 0.8
+
+
+class TestDropRegionCeilMode:
+    def test_partial_edge_patches_match_torch_ceil_pool(self):
+        """h=10, scale=0.3 -> ph=3, kh=3: ceil-mode pooling emits a 4th
+        partial patch row/col the reference's MaxPool2d(ceil_mode=True)
+        includes (coteach_loss.py:174). Oracle: torch."""
+        import torch
+
+        rng = np.random.default_rng(7)
+        logits1 = rng.normal(size=(2, 10, 10, 2)).astype(np.float32)
+        logits2 = rng.normal(size=(2, 10, 10, 2)).astype(np.float32)
+        targets = (rng.random((2, 10, 10)) > 0.5).astype(np.int32)
+
+        loss1, loss2 = coteach.coteach_drop_region_ce(
+            jnp.asarray(logits1), jnp.asarray(logits2), jnp.asarray(targets),
+            forget_rate=0.25, scale=0.3,
+        )
+
+        pool = torch.nn.MaxPool2d(kernel_size=3, stride=3, ceil_mode=True)
+        tl1 = pool(torch.from_numpy(logits1).permute(0, 3, 1, 2))
+        tl2 = pool(torch.from_numpy(logits2).permute(0, 3, 1, 2))
+        tt = pool(torch.from_numpy(targets.astype(np.float32))[:, None]).long()[:, 0]
+        assert tl1.shape[-1] == 4  # the partial patch exists
+        ce = torch.nn.CrossEntropyLoss(reduction="none")
+        c1 = ce(tl1, tt).reshape(2, -1).numpy()
+        c2 = ce(tl2, tt).reshape(2, -1).numpy()
+        npatch = c1.shape[1]
+        k = int(0.75 * npatch)
+        idx1 = np.argsort(c1, axis=1)[:, :k]
+        idx2 = np.argsort(c2, axis=1)[:, :k]
+        exp1 = np.take_along_axis(c1, idx2, axis=1).mean()
+        exp2 = np.take_along_axis(c2, idx1, axis=1).mean()
+        assert np.allclose(float(loss1), exp1, atol=1e-5)
+        assert np.allclose(float(loss2), exp2, atol=1e-5)

@@ -116,3 +116,14 @@ class TestThreeD:
         assert np.allclose(float(metrics.iou3d(jnp.asarray(a), jnp.asarray(b))), 0.5)
         tp, tn, fp, fn = metrics.tp_tn_fp_fn_3d(jnp.asarray(a), jnp.asarray(b))
         assert (float(tp), float(tn), float(fp), float(fn)) == (1.0, 2.0, 0.0, 1.0)
+
+
+def test_iou_both_empty_scores_one():
+    """Both-empty image: IoU 1.0 (perfect match), consistent with dice_fn —
+    the reference's 0/0 NaN is a documented deviation (ops/metrics.py)."""
+    logits = np.zeros((2, 4, 4, 2), np.float32)
+    logits[..., 0] = 8.0  # confident background everywhere
+    target = np.zeros((2, 4, 4), np.int32)
+    target[1, 1, 1] = 1  # second image non-empty, predicted empty -> 0
+    total = float(metrics.iou_fn(jnp.asarray(logits), jnp.asarray(target)))
+    assert np.allclose(total, 1.0, atol=1e-6)

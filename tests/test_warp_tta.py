@@ -130,3 +130,49 @@ class TestTTA:
         expect = np.asarray(jax.nn.softmax(logits, axis=-1)).mean(axis=0)
         assert np.allclose(np.asarray(pseudo), expect, atol=1e-5)
         assert wmap.shape == (2, 8, 8, 1)
+
+
+class TestNonSquare:
+    def test_augment_invert_nonsquare_routes_to_gather(self):
+        """Non-square images are valid API inputs: auto/shear/pallas all
+        route to the gather path (the 3-shear formulation needs a square
+        canvas for its 90-degree composition)."""
+        import pytest  # noqa: F401
+
+        img = jnp.asarray(
+            np.stack([_smooth_image(h=8, w=16), _smooth_image(h=8, w=16, seed=1)])
+        )
+        deg = jnp.asarray([30.0, -75.0])
+        hf = jnp.asarray([0.0, 1.0])
+        ref = warp.augment(img, deg, hf, 0.0, method="gather")
+        for method in ("auto", "shear", "pallas"):
+            out = warp.augment(img, deg, hf, 0.0, method=method)
+            assert out.shape == img.shape
+            back = warp.invert(out, deg, hf, 0.0, method=method)
+            assert back.shape == img.shape
+            assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    def test_pallas_direct_call_rejects_nonsquare(self):
+        import pytest
+
+        from aide_tpu.ops.pallas_warp import warp_rotate_flip
+
+        img = jnp.asarray(_smooth_image(h=8, w=16))[None]
+        with pytest.raises(ValueError, match="square"):
+            warp_rotate_flip(img, jnp.zeros(1), jnp.zeros(1), 0.0)
+
+
+def test_make_views_numpy_fill():
+    """A NumPy (B, C) per-image fill must tile across views exactly like a
+    jnp fill (regression: the isinstance check skipped np.ndarray)."""
+    img = jnp.asarray(
+        np.stack([_smooth_image(h=16, w=16), _smooth_image(h=16, w=16, seed=1)])
+    )
+    b, c = img.shape[0], img.shape[-1]
+    deg = jnp.asarray(np.full((3, b), 20.0, np.float32))
+    hf = jnp.zeros((3, b))
+    fill_np = np.arange(b * c, dtype=np.float32).reshape(b, c)
+    out_np = tta.make_views(img, deg, hf, fill_np)
+    out_j = tta.make_views(img, deg, hf, jnp.asarray(fill_np))
+    assert out_np.shape == (3,) + img.shape
+    assert np.allclose(np.asarray(out_np), np.asarray(out_j))
