@@ -14,6 +14,10 @@ def setup_logging(history_dir: str, experiment_name: str) -> logging.Logger:
     log_path = os.path.join(history_dir, f"{experiment_name}.log")
     logger = logging.getLogger("aide_tpu")
     logger.setLevel(logging.INFO)
+    for h in logger.handlers:
+        # close before dropping: repeated Trainer construction in one
+        # process (sweeps, tests) must not leak a FileHandler fd per run
+        h.close()
     logger.handlers.clear()
     fmt = logging.Formatter("%(message)s")
     for h in (logging.StreamHandler(), logging.FileHandler(log_path)):

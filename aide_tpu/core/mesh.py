@@ -24,6 +24,11 @@ def make_mesh(cfg: Optional[MeshConfig] = None, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
     n = cfg.num_devices or len(devices)
+    if n > len(devices):
+        raise ValueError(
+            f"mesh.num_devices={n} but only {len(devices)} device(s) are "
+            "available"
+        )
     devices = devices[:n]
 
     axis_names = [cfg.data_axis]

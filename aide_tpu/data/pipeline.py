@@ -469,11 +469,18 @@ class SlicePipeline:
 
     # ------------------------- batching -------------------------
 
-    def _batch_from(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
+    def _batch_from(
+        self, idx: np.ndarray, images_only: bool = False
+    ) -> Dict[str, np.ndarray]:
         if self._device_data is not None:
             data = dict(self._device_data)
-            if self._device_labels is not None:
+            if self._device_labels is not None and not images_only:
                 data.update(self._device_labels)
+            if images_only:
+                # inference batches (case eval / predict) never read the
+                # label arrays; gathering them would roughly double the
+                # per-batch traffic for nothing
+                data = {k: v for k, v in data.items() if not k.startswith("target")}
             if self._mesh_cache is not None:
                 return self._mesh_cache.gather(data, np.asarray(idx, np.int32))
             return _device_gather(data, np.asarray(idx, np.int32))
@@ -489,6 +496,8 @@ class SlicePipeline:
             batch["image"] = self.images[0][idx]
             batch["scale"] = self.scales[0][idx]
             batch["fill"] = self.fills[0][idx]
+        if images_only:
+            return batch
         batch["target"] = self.targets[idx].astype(np.int32)
         if self.labels is not None:
             batch["target1"] = self.labels.get(1)[idx].astype(np.int32)
@@ -523,9 +532,11 @@ class SlicePipeline:
     def case_indices(self, case_id: str) -> List[int]:
         return self.case_slices[str(case_id)]
 
-    def batch_at(self, indices) -> Dict[str, np.ndarray]:
-        """Batch assembled from explicit slice indices (packed case eval)."""
-        return self._batch_from(np.asarray(indices))
+    def batch_at(self, indices, images_only: bool = False) -> Dict[str, np.ndarray]:
+        """Batch assembled from explicit slice indices (packed case eval).
+        ``images_only`` skips the target/working-label arrays (predict-only
+        consumers)."""
+        return self._batch_from(np.asarray(indices), images_only=images_only)
 
     def case_batches(self, case_id: str, batch_size: int):
         """Slice batches of one case, padded to ``batch_size`` with a

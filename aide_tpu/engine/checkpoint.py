@@ -18,7 +18,7 @@ from typing import Any, Dict, Optional
 import jax
 from flax import serialization
 
-from aide_tpu.engine.state import DualTrainState, TrainState, unstack_tree
+from aide_tpu.engine.state import DualTrainState, TrainState  # noqa: F401
 
 
 def _write(path: str, tree: Any, meta: Dict) -> None:
@@ -48,19 +48,6 @@ def load_net(path: str, template: Dict) -> Dict:
         return serialization.from_bytes(template, fh.read())
 
 
-def save_dual_nets(
-    dir_path: str, prefix: str, state: DualTrainState, meta: Dict
-) -> None:
-    """Per-net best-checkpoint exports named like the reference's
-    ``{model}_temp{T}_r{rep}_netK_besttraincasedice.pkl`` (:512-513)."""
-    for net in (1, 2):
-        save_net(
-            os.path.join(dir_path, f"{prefix}_net{net}_besttraincasedice.msgpack"),
-            state.net_variables(net - 1),
-            dict(meta, net=net),
-        )
-
-
 def state_tree(state) -> Dict:
     """The full-state pytree (params + BN + optimizer + step clock)."""
     return {
@@ -78,10 +65,10 @@ def save_best_bundle(
     """All best-epoch artifacts (per-net exports + full state) from ONE
     batched device->host transfer of a ``state_tree``-shaped pytree.
 
-    ``save_dual_nets``'s per-net ``net_variables`` unstacks each leaf on
-    device — hundreds of tiny slice programs, each a round trip on a
-    tunneled chip (measured: minutes per checkpoint). Here the stacked tree
-    is fetched once and sliced with NumPy on host."""
+    Unstacking per-net leaves ON DEVICE (``net_variables``) would emit
+    hundreds of tiny slice programs, each a round trip on a tunneled chip
+    (measured: minutes per checkpoint). Here the stacked tree is fetched
+    once and sliced with NumPy on host."""
     host = jax.device_get(tree)
     if dual:
         for net in (1, 2):
@@ -116,24 +103,12 @@ def save_best_bundle(
 
 def save_train_state(path: str, state, meta: Dict) -> None:
     """Full state (params + BN stats + optimizer) for exact resume."""
-    tree = {
-        "step": state.step,
-        "params": state.params,
-        "batch_stats": state.batch_stats,
-        "opt_state": state.opt_state,
-    }
-    _write(path, tree, meta)
+    _write(path, state_tree(state), meta)
 
 
 def load_train_state(path: str, state):
-    tree = {
-        "step": state.step,
-        "params": state.params,
-        "batch_stats": state.batch_stats,
-        "opt_state": state.opt_state,
-    }
     with open(path, "rb") as fh:
-        restored = serialization.from_bytes(tree, fh.read())
+        restored = serialization.from_bytes(state_tree(state), fh.read())
     return state.replace(**restored)
 
 

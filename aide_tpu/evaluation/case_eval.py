@@ -122,7 +122,10 @@ def infer_cases(
         # one batched device->host transfer — per-array fetches would each
         # pay a round trip on a tunneled chip (measured ~37x slower)
         pending = [
-            predict_step(state, pipe.batch_at(padded[s : s + batch_size]))
+            predict_step(
+                state,
+                pipe.batch_at(padded[s : s + batch_size], images_only=True),
+            )
             for s in range(0, len(padded), batch_size)
         ]
         fetched = jax.device_get(pending)

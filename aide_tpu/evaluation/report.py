@@ -48,6 +48,10 @@ def write_case_masks(
 
 
 def summarize(results: Sequence[CaseResult]) -> dict:
+    if not results:
+        # np.mean([]) would yield NaN + RuntimeWarning and flow silently
+        # into the printed JSON/CSV summary
+        raise ValueError("no cases evaluated (empty result list)")
     return {
         "mean_dice": float(np.mean([r.dice for r in results])),
         "mean_iou": float(np.mean([r.iou for r in results])),

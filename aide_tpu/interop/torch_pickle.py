@@ -168,14 +168,34 @@ def _load_zip(fh: BinaryIO) -> Any:
 # ----------------------------- legacy format -----------------------------
 
 
+class _MetaUnpickler(pickle.Unpickler):
+    """For the legacy header/trailer pickles (magic, protocol, sys_info,
+    storage keys): these hold only primitives, so ANY global reference is
+    refused. The security contract (module docstring) must hold from the
+    very first byte parsed — a plain ``pickle.load`` here would execute a
+    malicious ``__reduce__`` payload before the magic check ever ran."""
+
+    def find_class(self, module: str, name: str):
+        raise pickle.UnpicklingError(
+            f"refusing to unpickle {module}.{name} in torch legacy metadata"
+        )
+
+    def persistent_load(self, pid):
+        raise pickle.UnpicklingError(f"unexpected persistent id {pid!r}")
+
+
+def _meta_load(fh: BinaryIO) -> Any:
+    return _MetaUnpickler(fh).load()
+
+
 def _load_legacy(fh: BinaryIO) -> Any:
-    magic = pickle.load(fh)
+    magic = _meta_load(fh)
     if magic != _MAGIC_NUMBER:
         raise ValueError("not a torch legacy checkpoint (bad magic)")
-    protocol = pickle.load(fh)
+    protocol = _meta_load(fh)
     if protocol != _PROTOCOL_VERSION:
         raise ValueError(f"unsupported torch legacy protocol {protocol}")
-    pickle.load(fh)  # sys_info (int sizes), unused
+    _meta_load(fh)  # sys_info (int sizes), unused
 
     storages: Dict[str, np.ndarray] = {}
     pending: Dict[str, Tuple[_StorageType, int]] = {}
@@ -193,7 +213,7 @@ def _load_legacy(fh: BinaryIO) -> Any:
 
     result = _TorchUnpickler(fh, storage_loader).load()
 
-    keys = pickle.load(fh)  # deserialized storage keys, in write order
+    keys = _meta_load(fh)  # deserialized storage keys, in write order
     for key in keys:
         key = str(key)
         stype, numel = pending[key]

@@ -56,18 +56,25 @@ def test_load_torch_pickle_noncontiguous_view(tmp_path):
 
 
 def test_refuses_arbitrary_globals(tmp_path):
+    """A malicious __reduce__ payload must be REFUSED, not executed: the
+    legacy path parses untrusted pickles before the magic check, so the
+    restricted unpickler has to stop the payload itself (calls recorded in
+    ``fired`` prove non-execution, not just the raised error)."""
+    import os
     import pickle
 
     path = str(tmp_path / "evil.pkl")
+    marker = str(tmp_path / "pwned.marker")
 
     class Evil:
         def __reduce__(self):
-            return (print, ("pwned",))
+            return (open, (marker, "w"))
 
     with open(path, "wb") as fh:
         pickle.dump({"net": Evil()}, fh)
     with pytest.raises(Exception):
         load_torch_pickle(path)
+    assert not os.path.exists(marker), "malicious payload executed during load"
 
 
 # --------------------- block-level numeric equivalence ---------------------
