@@ -80,6 +80,11 @@ class DicomFile:
     def pixel_array(self) -> np.ndarray:
         """Raw stored values as (Rows, Columns), matching pydicom's
         ``pixel_array`` (no rescale applied)."""
+        spp = int(self.tags.get("SamplesPerPixel", 1) or 1)
+        if spp != 1:
+            # RGB/multi-sample data would silently decode as the interleaved
+            # top slice of the image — refuse like the other unsupported cases
+            raise ValueError(f"unsupported SamplesPerPixel={spp} (expect 1)")
         bits = int(self.tags.get("BitsAllocated", 16))
         signed = int(self.tags.get("PixelRepresentation", 0)) == 1
         if bits == 16:

@@ -79,9 +79,10 @@ def read_nifti(path: str) -> np.ndarray:
         scl_slope = 0.0
     if not np.isfinite(scl_inter):
         scl_inter = 0.0
-    if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
-        slope = scl_slope if scl_slope != 0.0 else 1.0
-        arr = arr.astype(np.float32) * slope + scl_inter
+    # the NIfTI-1 spec: scl_slope == 0 means NO scaling at all — the
+    # intercept is ignored too (CT converters leave junk inter like -1024)
+    if scl_slope != 0.0 and (scl_slope != 1.0 or scl_inter != 0.0):
+        arr = arr.astype(np.float32) * scl_slope + scl_inter
     return np.ascontiguousarray(arr)
 
 

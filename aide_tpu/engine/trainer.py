@@ -83,6 +83,9 @@ class Trainer:
             if cfg.data.labelcase_csv
             else []
         )
+        # optional observation hook, called as on_refresh(epoch) after a
+        # label refresh is applied and synced to device
+        self.on_refresh = None
 
         # ---- model + states ----
         if mesh is None:
@@ -313,6 +316,10 @@ class Trainer:
             )
         # refreshed labels live on host; mirror them back into device HBM
         self.train_pipe.sync_labels_to_device()
+        if self.on_refresh is not None:
+            # observation hook (label-quality oracles in experiments/) —
+            # runs after the refresh is fully applied and synced
+            self.on_refresh(epoch)
 
     def _is_refresh_epoch(self, epoch: int) -> bool:
         e1 = epoch + 1

@@ -1,5 +1,6 @@
 from aide_tpu.evaluation.case_eval import (  # noqa: F401
     CaseResult,
+    dice3d_np,
     evaluate_cases,
     infer_cases,
 )

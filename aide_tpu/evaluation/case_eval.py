@@ -25,13 +25,19 @@ from aide_tpu.ops.cc import keep_largest_connected_components
 # tunneled chip that is a network round trip per metric per case.
 
 
-def _dice3d_np(pred: np.ndarray, target: np.ndarray) -> float:
+def dice3d_np(pred: np.ndarray, target: np.ndarray) -> float:
+    """Host-side whole-volume Dice (foreground > 0; empty union = 1.0) —
+    THE convention the golden-parity tests pin. Exported so experiment
+    harnesses score with the same metric instead of re-deriving it."""
     p = pred.reshape(-1) > 0
     t = target.reshape(-1) > 0
     union = float(p.sum()) + float(t.sum())
     if union == 0:
         return 1.0
     return 2.0 * float(np.sum(p & t)) / union
+
+
+_dice3d_np = dice3d_np  # internal alias (pre-export call sites)
 
 
 def _iou3d_np(pred: np.ndarray, target: np.ndarray) -> float:

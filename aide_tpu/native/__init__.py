@@ -27,10 +27,17 @@ _tried = False
 
 
 def _src_digest() -> str:
+    """Fingerprint of the source AND the build host: the .so is compiled
+    -march=native, so a binary copied from another machine could carry
+    illegal instructions (SIGILL is uncatchable and would kill the eval
+    loop) — it must rebuild, not load."""
     import hashlib
+    import platform
 
     with open(_SRC, "rb") as fh:
-        return hashlib.sha1(fh.read()).hexdigest()
+        src = fh.read()
+    host = f"{platform.machine()}|{platform.processor()}|{platform.node()}"
+    return hashlib.sha1(src + host.encode()).hexdigest()
 
 
 def _build() -> bool:
@@ -52,10 +59,9 @@ def _build() -> bool:
 
 
 def _lib_current() -> bool:
-    """True iff the cached .so was built from the current source. A hash
-    sidecar instead of mtime comparison: checkouts/copies give source and
-    library indistinguishable mtimes, and the .so is built -march=native,
-    so running a stale or foreign binary must be impossible."""
+    """True iff the cached .so was built from the current source ON THIS
+    HOST (see _src_digest). A hash sidecar instead of mtime comparison:
+    checkouts/copies give source and library indistinguishable mtimes."""
     if not os.path.exists(_LIB_PATH):
         return False
     try:
@@ -126,6 +132,12 @@ def volume_confusion(pred: np.ndarray, target: np.ndarray):
         return None
     p = np.ascontiguousarray(pred.astype(np.uint8)).ravel()
     t = np.ascontiguousarray(target.astype(np.uint8)).ravel()
+    if p.size != t.size:
+        # the C loop reads target[0:pred.size] — a smaller target buffer
+        # would be read out of bounds
+        raise ValueError(
+            f"pred/target size mismatch: {pred.shape} vs {target.shape}"
+        )
     outs = [ctypes.c_int64() for _ in range(4)]
     lib.volume_confusion(
         p.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),

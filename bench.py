@@ -246,7 +246,10 @@ def main() -> int:
     )
 
     if args.steps_only:
+        # keep the marker: a step-extrapolated number must not read as an
+        # honest full-epoch measurement
         value = step_epoch_s
+        extras["partial"] = "steps_only"
     else:
         log("timing full epoch 1...")
         if args.profile:

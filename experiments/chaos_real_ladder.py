@@ -134,10 +134,9 @@ def shipped_pseudo_volume(pipe, case: str) -> "np.ndarray":
 
 
 def dice(a, b) -> float:
-    a = a > 0
-    b = b > 0
-    u = float(a.sum()) + float(b.sum())
-    return 1.0 if u == 0 else round(2.0 * float((a & b).sum()) / u, 4)
+    from aide_tpu.evaluation import dice3d_np
+
+    return round(dice3d_np(a, b), 4)
 
 
 def run_stage(stage: str, workdir: str, epochs: int) -> dict:
@@ -160,10 +159,7 @@ def run_stage(stage: str, workdir: str, epochs: int) -> dict:
             pipe.labels.refresh_case(net, idxs, pseudo)
         if pipe._device_data is not None:
             pipe.sync_labels_to_device()
-        orig_refresh = trainer._refresh_labels
-
-        def tracked_refresh(epoch, traincase):
-            orig_refresh(epoch, traincase)
+        def on_refresh(epoch):
             g = pipe.targets[idxs]
             q = round(
                 sum(dice(pipe.labels.get(net)[idxs], g) for net in (1, 2)) / 2, 4
@@ -171,7 +167,7 @@ def run_stage(stage: str, workdir: str, epochs: int) -> dict:
             quality_track.append({"epoch": epoch + 1, "label_quality": q})
             print(json.dumps(quality_track[-1]), flush=True)
 
-        trainer._refresh_labels = tracked_refresh
+        trainer.on_refresh = on_refresh
     else:
         # naive: train directly on the pseudo-labels (the golden 0.547 rung)
         pipe.targets[idxs] = pseudo

@@ -150,14 +150,14 @@ def apply_pseudo_labels(trainer, pretrain_ckpt: str) -> None:
     volumes = infer_cases(
         predict, state, pipe, cases, trainer.cfg.data.eval_batch_size, dual=False
     )
+    from aide_tpu.evaluation import dice3d_np
+
     qs = []
     for case, vols in zip(cases, volumes):
         idxs = pipe.case_indices(case)
         vol = vols[0].astype(np.uint8)
-        g = pipe.targets[idxs] > 0  # still GT at this point
-        p = vol > 0
-        u = float(p.sum()) + float(g.sum())
-        qs.append(1.0 if u == 0 else 2.0 * float((p & g).sum()) / u)
+        # pipe.targets are still GT at this point (pseudo protocol)
+        qs.append(dice3d_np(vol, pipe.targets[idxs]))
         if trainer.dual:
             # initial working labels for both co-teaching nets
             for net in (1, 2):
@@ -170,30 +170,70 @@ def apply_pseudo_labels(trainer, pretrain_ckpt: str) -> None:
         if trainer.dual:
             pipe.sync_labels_to_device()
         else:
-            pipe.to_device()
+            # re-upload with the trainer's mesh so the device cache keeps
+            # its sharding policy (a bare to_device() would fall back to a
+            # single-default-device gather under a multi-device mesh)
+            pipe.to_device(trainer.mesh, trainer.cfg.mesh.data_axis)
     print(
         json.dumps({"pseudo_label_quality": round(float(np.mean(qs)), 4)}),
         flush=True,
     )
 
 
-def label_quality(trainer) -> float:
-    """Mean Dice of the working labels vs clean GT over non-clean cases
-    (both nets) — the oracle for whether refresh helps or hurts. Only
-    meaningful under the pseudo protocol, where pipe.targets stay GT."""
+def clean_gt(trainer) -> "np.ndarray":
+    """Clean ground-truth masks for every train slice, whatever the
+    protocol. Under pseudo, pipe.targets ARE the clean GT; under shift they
+    hold the CORRUPTED annotations, so a clone generator with
+    noisy_fraction=0 (same seed/style — the mask is drawn before the
+    corruption decision) regenerates the clean masks once and caches them
+    on the trainer."""
     import numpy as np
 
+    cached = getattr(trainer, "_clean_gt", None)
+    if cached is not None:
+        return cached
     pipe = trainer.train_pipe
+    if PROTOCOL == "pseudo":
+        gt = pipe.targets
+    else:
+        from aide_tpu.data.tasks.base import resize_mask
+        from aide_tpu.data.tasks.synthetic import SyntheticTask
+
+        t = trainer.task
+        clone = SyntheticTask(
+            root=t.root, two_modal=t.two_modal, num_cases=t.num_cases,
+            slices_per_case=t.slices_per_case, size=t.size,
+            noisy_fraction=0.0, clean_cases=t.clean_cases,
+            noise_shift_divisor=t.noise_shift_divisor, style=t.style,
+            seed=t.seed, test_case_offset=t.test_case_offset,
+            num_test_cases=t.num_test_cases,
+        )
+        gt = np.zeros_like(pipe.targets)
+        for i, spec in enumerate(pipe.specs):
+            _, mask = clone.decode(spec)
+            if mask.shape != gt.shape[1:]:
+                mask = resize_mask(mask, gt.shape[1:])
+            gt[i] = (mask > 0).astype(gt.dtype)
+    trainer._clean_gt = gt
+    return gt
+
+
+def label_quality(trainer) -> float:
+    """Mean Dice of the working labels vs clean GT over non-clean cases
+    (both nets) — the oracle for whether refresh helps or hurts."""
+    import numpy as np
+
+    from aide_tpu.evaluation import dice3d_np
+
+    pipe = trainer.train_pipe
+    gt = clean_gt(trainer)
     qs = []
     for case in pipe.cases:
         if case in trainer.label_cases:
             continue
         idxs = pipe.case_indices(case)
-        g = pipe.targets[idxs] > 0
         for net in (1, 2):
-            l = pipe.labels.get(net)[idxs] > 0
-            u = float(l.sum()) + float(g.sum())
-            qs.append(1.0 if u == 0 else 2.0 * float((l & g).sum()) / u)
+            qs.append(dice3d_np(pipe.labels.get(net)[idxs], gt[idxs]))
     return round(float(np.mean(qs)), 4)
 
 
@@ -219,15 +259,13 @@ def run(
         # per-refresh label-quality oracle: the working labels must IMPROVE
         # across refreshes for the regime to be healthy (VERDICT r2 #2)
         quality_track = []
-        orig_refresh = trainer._refresh_labels
 
-        def tracked_refresh(epoch, traincase):
-            orig_refresh(epoch, traincase)
+        def on_refresh(epoch):
             q = label_quality(trainer)
             quality_track.append({"epoch": epoch + 1, "label_quality": q})
             print(json.dumps(quality_track[-1]), flush=True)
 
-        trainer._refresh_labels = tracked_refresh
+        trainer.on_refresh = on_refresh
     # evaluate on held-out cases from an independent generator segment
     history = trainer.run(epochs)
     last = history[-1]
@@ -334,7 +372,8 @@ def main() -> int:
         "model": MODEL,
         "two_modal": TWO_MODAL,
         "slices_per_case": SLICES_PER_CASE,
-        "noisy_fraction": NOISY_FRACTION,
+        # effective value: the pseudo protocol applies no corruption
+        "noisy_fraction": 0.0 if PROTOCOL == "pseudo" else NOISY_FRACTION,
         "noise_shift_divisor": NOISE_SHIFT_DIVISOR,
         "clean_cases": CLEAN_CASES,
         "num_cases": NUM_CASES,
