@@ -276,3 +276,13 @@ def test_comparison_meta_history_includes_best_epoch(tmp_path):
     assert hist, "embedded history must not be empty"
     assert hist[-1]["epoch"] == meta["epoch"]
     assert "test_loss" in hist[-1] or "test_loss1" in hist[-1]
+
+
+def test_on_refresh_hook_fires_after_sync(tmp_path):
+    """The public observation hook runs once per refresh epoch, after the
+    refresh is applied (experiment oracles read the labels it just wrote)."""
+    tr = make_trainer(tmp_path)
+    seen = []
+    tr.on_refresh = lambda epoch: seen.append(epoch)
+    tr.run(1)
+    assert seen == [0]
