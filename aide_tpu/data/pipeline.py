@@ -21,7 +21,7 @@ device-side warps fill borders exactly like normalize-after-rotate.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -300,14 +300,35 @@ class SlicePipeline:
         std_arr = np.asarray(data_std, np.float32) if fixed else None
 
         if cache_file and os.path.exists(cache_file):
-            z = np.load(cache_file)
-            for m in range(n_mod):
-                self.images[m] = z[f"images{m}"]
-                self.scales[m] = z[f"scales{m}"]
-                self.fills[m] = z[f"fills{m}"]
-            self.targets = z["targets"]
-            self._finish_init(working_labels)
-            return
+            try:
+                z = np.load(cache_file)
+                for m in range(n_mod):
+                    self.images[m] = z[f"images{m}"]
+                    self.scales[m] = z[f"scales{m}"]
+                    self.fills[m] = z[f"fills{m}"]
+                self.targets = z["targets"]
+                self._finish_init(working_labels)
+                return
+            except Exception:
+                # corrupt/truncated cache (e.g. a crash predating the
+                # atomic-rename write): fall through and re-decode into
+                # freshly allocated arrays (a partial load may have rebound
+                # some of them)
+                try:
+                    os.remove(cache_file)
+                except OSError:
+                    pass
+                self.images = [
+                    np.zeros((n, img_size, img_size, 3), np.uint8)
+                    for _ in range(n_mod)
+                ]
+                self.scales = [
+                    np.zeros((n, 3), np.float32) for _ in range(n_mod)
+                ]
+                self.fills = [
+                    np.zeros((n, 3), np.float32) for _ in range(n_mod)
+                ]
+                self.targets = np.zeros((n, img_size, img_size), np.uint8)
 
         for i, spec in enumerate(self.specs):
             imgs, mask = task.decode(spec)
@@ -329,20 +350,28 @@ class SlicePipeline:
             os.makedirs(cache_dir, exist_ok=True)
             import glob
 
-            # also match the pre-stat-key filename decode_<id>.npz (no
-            # trailing underscore) so legacy caches don't orphan forever
-            legacy = f"{self._cache_prefix.rstrip('_')}.npz"
-            for stale in glob.glob(f"{self._cache_prefix}*.npz") + [legacy]:
-                try:
-                    os.remove(stale)
-                except OSError:
-                    pass
             arrays = {"targets": self.targets}
             for m in range(n_mod):
                 arrays[f"images{m}"] = self.images[m]
                 arrays[f"scales{m}"] = self.scales[m]
                 arrays[f"fills{m}"] = self.fills[m]
-            np.savez(cache_file, **arrays)
+            # crash-safe: write to a tmp path and rename (an interrupted
+            # multi-hundred-MB savez would otherwise leave a truncated zip
+            # that poisons every later run), and prune stale siblings only
+            # AFTER the new cache has landed
+            tmp = cache_file + ".tmp.npz"
+            np.savez(tmp, **arrays)
+            os.replace(tmp, cache_file)
+            # also match the pre-stat-key filename decode_<id>.npz (no
+            # trailing underscore) so legacy caches don't orphan forever
+            legacy = f"{self._cache_prefix.rstrip('_')}.npz"
+            for stale in glob.glob(f"{self._cache_prefix}*.npz") + [legacy]:
+                if os.path.abspath(stale) == os.path.abspath(cache_file):
+                    continue
+                try:
+                    os.remove(stale)
+                except OSError:
+                    pass
 
         self._finish_init(working_labels)
 
@@ -537,19 +566,6 @@ class SlicePipeline:
         ``images_only`` skips the target/working-label arrays (predict-only
         consumers)."""
         return self._batch_from(np.asarray(indices), images_only=images_only)
-
-    def case_batches(self, case_id: str, batch_size: int):
-        """Slice batches of one case, padded to ``batch_size`` with a
-        validity mask (static shapes for the jitted predict step)."""
-        idxs = self.case_indices(case_id)
-        for s in range(0, len(idxs), batch_size):
-            chunk = idxs[s : s + batch_size]
-            pad = batch_size - len(chunk)
-            sel = np.asarray(chunk + [chunk[-1]] * pad)
-            batch = self._batch_from(sel)
-            valid = np.zeros(batch_size, bool)
-            valid[: len(chunk)] = True
-            yield batch, valid
 
     def case_targets(self, case_id: str, net: Optional[int] = None) -> np.ndarray:
         """(S, H, W) stacked working labels (or GT if net is None)."""

@@ -26,11 +26,10 @@ per-image scalars cross devices, never feature maps.
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from aide_tpu.core.config import TrainConfig
 from aide_tpu.ops import losses, metrics, tta, warp

@@ -25,7 +25,7 @@ from __future__ import annotations
 import os
 import shutil
 import time
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -41,7 +41,7 @@ from aide_tpu.engine import checkpoint as ckpt
 from aide_tpu.engine import steps as steps_mod
 from aide_tpu.engine.state import DualTrainState, TrainState
 from aide_tpu.evaluation.case_eval import evaluate_cases
-from aide_tpu.models import build_model, is_two_modal
+from aide_tpu.models import build_model
 from aide_tpu.ops.schedules import make_optimizer, rate_schedule
 
 
@@ -365,9 +365,16 @@ class Trainer:
             # epoch's own row (trainchaos_comparison_1case.py:127-128,
             # 206-230 appends before saving). run_epoch appends to
             # self.history only after checkpointing, so the current row is
-            # passed in. full_meta's resume history (bookkeeping override
-            # below) intentionally omits it: resume replays this epoch.
-            meta["history"] = list(self.history) + (
+            # passed in — it has no timing fields yet (the epoch is still
+            # running), so timing fields are stripped from every row to keep
+            # the embedded schema uniform. full_meta's resume history
+            # (bookkeeping override below) intentionally omits the current
+            # row: resume replays this epoch.
+            hist = [
+                {k: v for k, v in r.items() if not k.startswith("time")}
+                for r in self.history
+            ]
+            meta["history"] = hist + (
                 [epoch_row] if epoch_row is not None else []
             )
         # best-epoch artifacts (per-net exports + full state). The full
@@ -386,8 +393,11 @@ class Trainer:
             self._best_snapshot = self._snapshot_fn(ckpt.state_tree(self.state))
             self._best_meta = (meta, full_meta)
         # prostate trainers back up the best temp-mask folder
-        # (trainprostate_proposed_isbi3ttransferisbidx.py:473-476)
-        if self.dual and cfg.data.tempmask_folder:
+        # (trainprostate_proposed_isbi3ttransferisbidx.py:473-476).
+        # Gate and path read the SAME field: an injected task with
+        # tempmask_folder="" must not turn src into the dataset root
+        # (copytree of the whole dataset per best epoch).
+        if self.dual and self.task.tempmask_folder:
             src = os.path.join(self.task.root, self.task.tempmask_folder)
             if os.path.isdir(src):
                 shutil.copytree(src, src.rstrip("/") + "_best", dirs_exist_ok=True)
@@ -511,7 +521,8 @@ class Trainer:
             )
 
     def run(self, num_epochs: Optional[int] = None) -> List[Dict]:
-        n = num_epochs or self.cfg.num_epochs
+        # explicit None check: run(0) must be a no-op, not the full run
+        n = self.cfg.num_epochs if num_epochs is None else num_epochs
         self.logger.info("Start Training ({})".format(self.cfg.data.task))
         if self.start_epoch:
             self.logger.info("Resuming at epoch %d", self.start_epoch + 1)

@@ -136,12 +136,16 @@ class TestPipeline:
         keys = [pipe.specs[i].sort_key for i in idxs]
         assert keys == sorted(keys)
 
-    def test_case_batches_padding(self, pipe):
-        chunks = list(pipe.case_batches("case00", batch_size=3))
-        assert len(chunks) == 2  # 4 slices -> 3 + 1(padded)
-        (_, v1), (_, v2) = chunks
-        assert v1.tolist() == [True, True, True]
-        assert v2.tolist() == [True, False, False]
+    def test_batch_at_images_only_skips_labels(self, pipe):
+        """Predict-only batches carry no target/working-label arrays (the
+        predict step never reads them; see case_eval.infer_cases)."""
+        idxs = pipe.case_indices("case00")[:2]
+        full = pipe.batch_at(idxs)
+        pred = pipe.batch_at(idxs, images_only=True)
+        assert any(k.startswith("target") for k in full)
+        assert not any(k.startswith("target") for k in pred)
+        for k in pred:
+            assert np.array_equal(np.asarray(pred[k]), np.asarray(full[k]))
 
 
 class TestLabelStore:
