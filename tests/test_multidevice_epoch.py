@@ -177,3 +177,17 @@ def test_mesh_shrink_warns_loudly(tmp_path):
         logger.removeHandler(h)
     assert tr.mesh.devices.size == 4  # gcd(4, 8) on 8 available
     assert any("MESH SHRUNK" in r.getMessage() for r in records)
+
+
+def test_make_mesh_rejects_overask():
+    """Asking for more devices than exist raises a named error, not an
+    opaque numpy reshape failure."""
+    import pytest
+    from aide_tpu.core.config import MeshConfig
+    from aide_tpu.core.mesh import make_mesh
+
+    import jax
+
+    too_many = len(jax.devices()) + 1
+    with pytest.raises(ValueError, match="num_devices"):
+        make_mesh(MeshConfig(num_devices=too_many))

@@ -286,3 +286,11 @@ def test_on_refresh_hook_fires_after_sync(tmp_path):
     tr.on_refresh = lambda epoch: seen.append(epoch)
     tr.run(1)
     assert seen == [0]
+
+
+def test_run_zero_epochs_is_noop(tmp_path):
+    """run(0) must train nothing (regression: `0 or cfg.num_epochs` fell
+    through to the full configured run)."""
+    tr = make_trainer(tmp_path)
+    history = tr.run(0)
+    assert history == []
