@@ -98,3 +98,51 @@ class TestPngMask:
         back = read_mask(p)
         assert set(np.unique(back)) <= {0, 63}
         assert np.array_equal((back == 63).astype(np.uint8), mask)
+
+
+class TestTruncatedInputs:
+    """Corrupt/truncated files must raise promptly — never hang, loop, or
+    return a silently wrong array."""
+
+    def test_truncated_dicom_raises(self, tmp_path):
+        import glob
+
+        srcs = sorted(
+            glob.glob(
+                "/root/reference/inputs_chaos/All_Sets/*/T1DUAL/DICOM_anon/"
+                "InPhase/*.dcm"
+            )
+        )
+        if not srcs:
+            pytest.skip("reference DICOMs not present")
+        raw = open(srcs[0], "rb").read()
+        for frac in (0.1, 0.5, 0.9):
+            p = str(tmp_path / f"trunc_{frac}.dcm")
+            with open(p, "wb") as fh:
+                fh.write(raw[: int(len(raw) * frac)])
+            with pytest.raises(Exception):
+                read_dicom(p).pixel_array  # noqa: B018
+
+    def test_truncated_nifti_raises(self, tmp_path):
+        arr = np.arange(64, dtype=np.int16).reshape(4, 4, 4)
+        p = str(tmp_path / "v.nii.gz")
+        write_nifti(p, arr)
+        import gzip
+
+        raw = gzip.decompress(open(p, "rb").read())
+        cut = str(tmp_path / "cut.nii.gz")
+        with open(cut, "wb") as fh:
+            fh.write(gzip.compress(raw[: len(raw) // 2]))
+        with pytest.raises(Exception):
+            read_nifti(cut)
+
+    def test_truncated_nrrd_raises(self, tmp_path):
+        arr = np.arange(64, dtype=np.int16).reshape(4, 4, 4)
+        p = str(tmp_path / "v.nrrd")
+        write_nrrd(p, arr)
+        raw = open(p, "rb").read()
+        cut = str(tmp_path / "cut.nrrd")
+        with open(cut, "wb") as fh:
+            fh.write(raw[: len(raw) // 2])
+        with pytest.raises(Exception):
+            read_nrrd(cut)
