@@ -208,6 +208,35 @@ def main() -> int:
     shutil.rmtree("/tmp/aide_bench_data", ignore_errors=True)
     shutil.rmtree("/tmp/aide_bench_ckpt", ignore_errors=True)
 
+    # the tunneled TPU backend drops for minutes at a time (observed hours);
+    # retry initialization with backoff instead of failing the whole bench
+    # on a transient outage. Each failed attempt leaves the backend cached
+    # as failed, so probe in a subprocess and only then touch jax here.
+    import subprocess
+
+    for attempt in range(8):
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True,
+                timeout=180,
+            )
+            if probe.returncode == 0:
+                break
+        except subprocess.TimeoutExpired:
+            pass  # init hangs when the tunnel is down
+        log(f"TPU backend unavailable (attempt {attempt + 1}/8); "
+            "retrying in 60 s...")
+        time.sleep(60)
+    else:
+        log("TPU backend unreachable after 8 attempts")
+        print(json.dumps({
+            "metric": "chaos_coteach_epoch_seconds", "value": -1,
+            "unit": "s/epoch", "vs_baseline": 0,
+            "error": "tpu_backend_unavailable",
+        }))
+        return 1
+
     variant = "comparison" if args.supervised else "proposed"
     cfg = make_config(args.batch, variant, args.task)
     log(f"building trainer ({args.task} point, decode on 1 host core)...")
