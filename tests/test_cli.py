@@ -19,6 +19,9 @@ def test_train_eval_predict_cycle(tmp_path, capsys):
         f"history_dir={work}/hist",
         "data.img_size=32",
         "model.name=unet2",
+        # batch norm so the export step below maps onto the reference's
+        # BatchNorm checkpoint layout (export refuses group norm)
+        "model.norm=batch",
         "num_epochs=1",
     ]
     assert main(["train"] + common + ["--epochs", "1"]) == 0
@@ -49,6 +52,18 @@ def test_train_eval_predict_cycle(tmp_path, capsys):
     )
     assert os.path.isdir(f"{work}/pred")
     assert any(os.listdir(f"{work}/pred"))
+
+    # export: the CLI writes a torch-loadable .pkl in the reference layout
+    assert (
+        main(
+            ["export"] + common + ["--checkpoint", ckpt, "--output", f"{work}/net.pkl"]
+        )
+        == 0
+    )
+    import torch
+
+    obj = torch.load(f"{work}/net.pkl", weights_only=False)
+    assert "net" in obj and "epoch" in obj
 
 
 def test_eval_requires_checkpoint(tmp_path):
