@@ -75,6 +75,43 @@ class Norm(nn.Module):
         raise ValueError(f"unknown norm kind {self.kind!r}")
 
 
+class Conv1x1(nn.Module):
+    """Pointwise conv emitted as a dot_general instead of a 1x1 lax.conv.
+
+    Parameter-compatible with ``nn.Conv(features, (1, 1))`` — same
+    ``kernel`` (1, 1, Cin, Cout) / ``bias`` (Cout,) shapes, names and
+    initializers — so checkpoints are unaffected; callers pass an explicit
+    ``name="Conv_K"`` to keep the auto-numbered paths.
+
+    Why: XLA's SPMD partitioner miscompiles a *vmapped* 1x1 convolution
+    whose lhs AND rhs are sharded over the vmap axis (the dual-net ``net``
+    mesh axis here): the grouped-conv/dot rewrite loses the group-dim
+    sharding and returns deterministically wrong values (max|diff| ~ O(1)
+    on random inputs, jax 0.9.0, CPU and TPU SPMD share the partitioner).
+    Spatial kernels (2x2/3x3) partition correctly; so does the dot form of
+    the pointwise conv. Repro + probe: experiments/mesh_axes_probe.py.
+    """
+
+    features: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
+        )
+        y = jnp.einsum(
+            "...i,io->...o", x.astype(self.dtype), kernel[0, 0].astype(self.dtype)
+        )
+        return y + bias.astype(self.dtype)
+
+
 class ConvBlock(nn.Module):
     """Two conv3x3 -> norm -> relu stages (basic_block, UNet.py:16-28)."""
 
@@ -270,8 +307,8 @@ class SpatialAttention(nn.Module):
     def __call__(self, x, train: bool = True):
         c = x.shape[-1]
         mid = max(1, c // self.reduction)
-        y = nn.Conv(mid, (1, 1), dtype=self.dtype, param_dtype=jnp.float32)(x)
-        for _ in range(2):
+        y = Conv1x1(mid, dtype=self.dtype, name="Conv_0")(x)
+        for i in range(2):
             y = nn.Conv(
                 mid,
                 (3, 3),
@@ -279,8 +316,9 @@ class SpatialAttention(nn.Module):
                 padding=self.dilation,
                 dtype=self.dtype,
                 param_dtype=jnp.float32,
+                name=f"Conv_{i + 1}",
             )(y)
-        y = nn.Conv(1, (1, 1), dtype=self.dtype, param_dtype=jnp.float32)(y)
+        y = Conv1x1(1, dtype=self.dtype, name="Conv_3")(y)
         y = Norm(self.norm, 1, self.axis_name, self.dtype)(y, train)
         return nn.sigmoid(y)
 
@@ -300,16 +338,18 @@ class BottleneckAttention(nn.Module):
         ca = ChannelAttention(self.reduction, self.dtype)(x)          # (B,1,1,C)
         c = x.shape[-1]
         mid = max(1, c // self.reduction)
-        y = nn.Conv(mid, (1, 1), dtype=self.dtype, param_dtype=jnp.float32)(x)
+        y = Conv1x1(mid, dtype=self.dtype, name="Conv_0")(x)
         y = nn.Conv(
             mid, (3, 3), kernel_dilation=(self.dilation, self.dilation),
             padding=self.dilation, dtype=self.dtype, param_dtype=jnp.float32,
+            name="Conv_1",
         )(y)
         y = nn.Conv(
             mid, (3, 3), kernel_dilation=(self.dilation, self.dilation),
             padding=self.dilation, dtype=self.dtype, param_dtype=jnp.float32,
+            name="Conv_2",
         )(y)
-        y = nn.Conv(1, (1, 1), dtype=self.dtype, param_dtype=jnp.float32)(y)
+        y = Conv1x1(1, dtype=self.dtype, name="Conv_3")(y)
         y = Norm(self.norm, 1, self.axis_name, self.dtype)(y, train)  # (B,H,W,1)
         gate = nn.sigmoid(ca + y)
         return x + gate * x

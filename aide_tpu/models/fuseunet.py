@@ -23,6 +23,7 @@ from flax import linen as nn
 from aide_tpu.core.registry import MODELS
 from aide_tpu.models import blocks
 from aide_tpu.models.blocks import (
+    Conv1x1,
     ConvBlock,
     SpatialAttention,
     UpBlock,
@@ -101,9 +102,7 @@ class FuseUNet(nn.Module):
                 **common,
             )(fused[level], out, train)
 
-        logits = nn.Conv(
-            self.num_classes, (1, 1), dtype=dtype, param_dtype=jnp.float32
-        )(out)
+        logits = Conv1x1(self.num_classes, dtype=dtype, name="Conv_0")(out)
         return logits.astype(jnp.float32)
 
 

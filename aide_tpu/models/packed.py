@@ -152,12 +152,24 @@ def struct_conv(
     hb_in, wb_in = x.shape[1], x.shape[2]
     pad_hi_y = (grid_out[0] - 1) * sy + KY - hb_in - pad_lo_y
     pad_hi_x = (grid_out[1] - 1) * sx + KX - wb_in - pad_lo_x
-    dn = jax.lax.conv_dimension_numbers(x.shape, big.shape, ("NHWC", "HWIO", "NHWC"))
-    y = jax.lax.conv_general_dilated(
-        x.astype(dtype), big, (sy, sx),
-        ((pad_lo_y, pad_hi_y), (pad_lo_x, pad_hi_x)),
-        dimension_numbers=dn,
-    )
+    if (
+        KY == KX == 1
+        and (sy, sx) == (1, 1)
+        and (pad_lo_y, pad_hi_y, pad_lo_x, pad_hi_x) == (0, 0, 0, 0)
+    ):
+        # pointwise block conv (the 1x1 head): emit as a dot — a vmapped
+        # 1x1 lax.conv whose operands are sharded over the vmap (net) axis
+        # miscompiles in the SPMD partitioner (see blocks.Conv1x1)
+        y = jnp.einsum("bhwi,io->bhwo", x.astype(dtype), big[0, 0])
+    else:
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, big.shape, ("NHWC", "HWIO", "NHWC")
+        )
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype), big, (sy, sx),
+            ((pad_lo_y, pad_hi_y), (pad_lo_x, pad_hi_x)),
+            dimension_numbers=dn,
+        )
     if bias is not None:
         y = y + jnp.repeat(bias.astype(dtype), Pout)
     return y

@@ -17,6 +17,7 @@ from flax import linen as nn
 from aide_tpu.core.registry import MODELS
 from aide_tpu.models import blocks
 from aide_tpu.models.blocks import (
+    Conv1x1,
     DownBlock,
     SpatialAttention,
     UpBlock,
@@ -79,9 +80,7 @@ class UNet(nn.Module):
                 **common,
             )(skips[level], x, train)
 
-        logits = nn.Conv(
-            self.num_classes, (1, 1), dtype=dtype, param_dtype=jnp.float32
-        )(x)
+        logits = Conv1x1(self.num_classes, dtype=dtype, name="Conv_0")(x)
         return logits.astype(jnp.float32)
 
 

@@ -1,0 +1,169 @@
+"""Multi-axis mesh layouts: `net` (dual-net model parallelism) and `space`
+(spatial partitioning of H) on top of `data`.
+
+The reference has no distributed runtime at all (SURVEY.md §0); the richest
+layout it implies is DataParallel. Here the dual co-teaching nets live on a
+stacked leading axis (engine/state.py), which shards naturally over a 2-way
+`net` mesh axis — each half of the mesh computes one net and the cross-net
+couplings become collectives — and GSPMD spatially partitions the
+convolutions over a `space` axis (halo exchange via collective-permute).
+
+These tests also pin the workaround for an upstream XLA SPMD bug: a vmapped
+1x1 convolution whose lhs AND rhs are sharded over the vmap axis
+miscompiles (deterministically wrong values, jax 0.9.0). models/blocks.py
+Conv1x1 emits the pointwise convs as dots instead
+(experiments/mesh_axes_probe.py is the repro/probe).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from aide_tpu.core.config import MeshConfig, ModelConfig, TrainConfig
+from aide_tpu.core.mesh import make_mesh
+from aide_tpu.engine import steps
+from aide_tpu.engine.state import DualTrainState, stack_trees
+from aide_tpu.models import build_model
+from aide_tpu.ops import make_optimizer
+
+
+def _clone(t):
+    return jax.tree_util.tree_map(lambda x: jnp.array(np.asarray(x)), t)
+
+
+def _shard_net(tree, mesh, net_axis="net"):
+    net_sh = NamedSharding(mesh, P(net_axis))
+    repl = NamedSharding(mesh, P())
+
+    def put(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == 2:
+            return jax.device_put(x, net_sh)
+        return jax.device_put(x, repl)
+
+    return jax.tree_util.tree_map(put, tree)
+
+
+def test_conv1x1_is_param_compatible_with_nn_conv():
+    """Heads/attention 1x1 convs keep the nn.Conv param paths and shapes, so
+    existing checkpoints (and .pkl interop) are unaffected."""
+    model = build_model(ModelConfig(name="unet4", compute_dtype="float32"))
+    v = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)), train=False)
+    head = v["params"]["Conv_0"]
+    assert head["kernel"].shape == (1, 1, 4, 2)
+    assert head["bias"].shape == (2,)
+
+    sa = build_model(ModelConfig(name="unetsa", compute_dtype="float32"))
+    v = sa.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)), train=False)
+    att = v["params"]["SpatialAttention_0"]
+    # 1x1 reduce (Conv_0), two dilated 3x3 (Conv_1/2), 1x1 out (Conv_3)
+    assert att["Conv_0"]["kernel"].shape[:2] == (1, 1)
+    assert att["Conv_1"]["kernel"].shape[:2] == (3, 3)
+    assert att["Conv_2"]["kernel"].shape[:2] == (3, 3)
+    assert att["Conv_3"]["kernel"].shape[:2] == (1, 1)
+
+
+@pytest.mark.slow
+def test_net_sharded_forward_matches_replicated():
+    """The vmapped dual-net forward with params sharded over `net` equals
+    the replicated forward (this is exactly the case the upstream 1x1-conv
+    SPMD bug breaks without Conv1x1)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh (conftest env)")
+    model = build_model(ModelConfig(name="unet4", compute_dtype="float32",
+                                    norm="group"))
+    v1 = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)), train=False)
+    v2 = model.init(jax.random.key(1), jnp.zeros((1, 16, 16, 3)), train=False)
+    params = stack_trees(v1["params"], v2["params"])
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.normal(size=(8, 16, 16, 3)).astype(np.float32))
+
+    @jax.jit
+    def run(params, img):
+        return jax.vmap(
+            lambda p: model.apply({"params": p}, img, train=False)
+        )(params)
+
+    ref = np.asarray(run(params, img))
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), ("data", "net"))
+    out = np.asarray(
+        run(
+            _shard_net(params, mesh),
+            jax.device_put(img, NamedSharding(mesh, P("data"))),
+        )
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "shape,axes,space",
+    [
+        ((4, 2), ("data", "net"), None),
+        ((2, 2, 2), ("data", "net", "space"), "space"),
+        ((1, 8), ("data", "space"), "space"),
+    ],
+    ids=["data-net", "data-net-space", "space-only"],
+)
+def test_coteach_step_multi_axis_mesh_matches_single_device(shape, axes, space):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh (conftest env)")
+
+    cfg = TrainConfig()
+    cfg.model = ModelConfig(name="unet4", compute_dtype="float32", norm="batch")
+    cfg.data.img_size = 16
+    cfg.data.batch_size = 8
+    cfg.data.num_tta_views = 2
+    cfg.coteach.warmup_epochs = 2
+
+    model = build_model(cfg.model)
+    x = jnp.zeros((1, 16, 16, 3))
+    v1 = model.init(jax.random.key(0), x, train=False)
+    v2 = model.init(jax.random.key(1), x, train=False)
+    tx = make_optimizer(cfg.optim, 4, 2)
+    base = DualTrainState.create(v1, v2, tx)
+
+    rng = np.random.default_rng(5)
+    batch = {
+        "image": rng.normal(size=(8, 16, 16, 3)).astype(np.float32),
+        "fill": rng.normal(size=(8, 3)).astype(np.float32),
+        "target1": (rng.random((8, 16, 16)) > 0.7).astype(np.int32),
+        "target2": (rng.random((8, 16, 16)) > 0.7).astype(np.int32),
+    }
+    step = steps.make_coteach_train_step(model, False, cfg)
+    key = jax.random.key(9)
+    rate = jnp.asarray(0.5)
+
+    def put_batch(mesh, space_axis):
+        out = {}
+        for k, v in batch.items():
+            spec = (
+                P("data", space_axis)
+                if (v.ndim >= 3 and space_axis)
+                else P("data")
+            )
+            out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+        return out
+
+    mesh1 = make_mesh(MeshConfig(num_devices=1))
+    s_ref, m_ref = step(_clone(base), put_batch(mesh1, None), key, rate)
+    p_ref = jax.device_get(jax.tree_util.tree_leaves(s_ref.params))
+    m_ref = jax.device_get(m_ref)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(shape), axes)
+    st = (
+        _shard_net(_clone(base), mesh)
+        if "net" in axes and mesh.shape["net"] > 1
+        else jax.device_put(_clone(base), NamedSharding(mesh, P()))
+    )
+    s, m = step(st, put_batch(mesh, space), key, rate)
+    m = jax.device_get(m)
+    for k in ("loss1", "loss2", "dice1_sum", "dice2_sum"):
+        assert np.isclose(float(m_ref[k]), float(m[k]), rtol=1e-5, atol=1e-5), (
+            k, float(m_ref[k]), float(m[k]),
+        )
+    # same tolerance rationale as test_dp_equivalence: Adam quantizes
+    # reduction-order noise to lr-scale sign flips
+    for a, b in zip(p_ref, jax.device_get(jax.tree_util.tree_leaves(s.params))):
+        np.testing.assert_allclose(a, b, atol=3e-4)
