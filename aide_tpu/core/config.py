@@ -181,7 +181,16 @@ class MeshConfig:
 
     data_axis: str = "data"
     num_devices: int = 0              # 0 => all available devices
-    # Optional (axis, size) pairs beyond data parallel, reserved for scaling.
+    # Optional (axis, size) pairs beyond data parallel. Two names are
+    # meaningful to the engine:
+    #   ("net", 2)    — shard the stacked dual co-teaching nets: each half
+    #                   of the mesh holds/computes one net (model parallel;
+    #                   core/mesh.place_state)
+    #   ("space", k)  — spatially partition the image H dim: GSPMD splits
+    #                   the convolutions with halo exchange over ICI
+    #                   (core/mesh.shard_batch space_axis)
+    # e.g. extra_axes=(("net", 2), ("space", 2)) on 8 chips trains with
+    # data=2 x net=2 x space=2.
     extra_axes: Tuple[Tuple[str, int], ...] = ()
 
 
@@ -304,9 +313,9 @@ def _build(cls, d: dict):
         ftype = hints.get(f.name, f.type)
         if dataclasses.is_dataclass(ftype) and isinstance(v, dict):
             kwargs[f.name] = _build(ftype, v)
-        elif isinstance(v, list):
+        elif isinstance(v, (list, tuple)):
             kwargs[f.name] = tuple(
-                tuple(x) if isinstance(x, list) else x for x in v
+                tuple(x) if isinstance(x, (list, tuple)) else x for x in v
             )
         else:
             kwargs[f.name] = v

@@ -54,21 +54,59 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh, data_axis: str = "data"):
+def shard_batch(batch, mesh: Mesh, data_axis: str = "data",
+                space_axis: Optional[str] = None):
     """Place a pytree of host arrays on the mesh, batch-sharded on axis 0.
 
     Arrays whose leading dimension does not divide the data axis (e.g. a
-    partial final eval batch) are replicated instead.
+    partial final eval batch) are replicated instead. With a ``space_axis``
+    (spatial partitioning), image-like leaves (ndim >= 3) additionally
+    shard their H dimension over it — GSPMD spatially partitions the convs
+    (halo exchange rides ICI as collective-permutes).
     """
     sharded = batch_sharding(mesh, data_axis)
     repl = replicated(mesh)
     n = mesh.shape[data_axis]
+    n_space = mesh.shape[space_axis] if space_axis else 1
+    spatial = (
+        NamedSharding(mesh, P(data_axis, space_axis)) if space_axis else None
+    )
 
     def put(x):
-        ok = hasattr(x, "shape") and x.ndim > 0 and x.shape[0] % n == 0
-        return jax.device_put(x, sharded if ok else repl)
+        if not (hasattr(x, "shape") and x.ndim > 0 and x.shape[0] % n == 0):
+            return jax.device_put(x, repl)
+        if spatial is not None and x.ndim >= 3 and x.shape[1] % n_space == 0:
+            return jax.device_put(x, spatial)
+        return jax.device_put(x, sharded)
 
     return jax.tree_util.tree_map(put, batch)
+
+
+def place_state(state, mesh: Mesh, dual: bool, net_axis: str = "net"):
+    """Place a train state on the mesh.
+
+    A DualTrainState's stacked leaves (leading net axis of size 2 —
+    engine/state.py) shard over the mesh's ``net`` axis when it has one:
+    each half of the mesh holds and computes one co-teaching net (model
+    parallelism; the TPU-native analogue of putting the reference's
+    net1/net2 on separate GPUs). Everything else is replicated.
+    """
+    repl = replicated(mesh)
+    if not (dual and net_axis in mesh.axis_names and mesh.shape[net_axis] > 1):
+        return jax.device_put(state, repl)
+    if mesh.shape[net_axis] != 2:
+        raise ValueError(
+            f"mesh axis {net_axis!r} must have size 2 (the dual co-teaching "
+            f"pair), got {mesh.shape[net_axis]}"
+        )
+    net_sh = NamedSharding(mesh, P(net_axis))
+
+    def put(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == 2:
+            return jax.device_put(x, net_sh)
+        return jax.device_put(x, repl)
+
+    return jax.tree_util.tree_map(put, state)
 
 
 def pad_to_multiple(n: int, m: int) -> int:

@@ -34,7 +34,7 @@ import numpy as np
 from aide_tpu.core import prng
 from aide_tpu.core.config import TrainConfig
 from aide_tpu.core.logging import record_params, setup_logging
-from aide_tpu.core.mesh import make_mesh, shard_batch
+from aide_tpu.core.mesh import make_mesh, place_state, shard_batch
 from aide_tpu.data.pipeline import SlicePipeline
 from aide_tpu.data.tasks import build_task
 from aide_tpu.engine import checkpoint as ckpt
@@ -96,22 +96,43 @@ class Trainer:
             import math
 
             n_avail = cfg.mesh.num_devices or len(jax.devices())
+            extra = 1
+            for _, size in cfg.mesh.extra_axes:
+                extra *= size
+            if n_avail % extra != 0:
+                raise ValueError(
+                    f"{n_avail} devices not divisible by mesh.extra_axes "
+                    f"{cfg.mesh.extra_axes}"
+                )
             n_fit = fit_data_devices(
-                math.gcd(cfg.data.batch_size, cfg.data.eval_batch_size), n_avail
+                math.gcd(cfg.data.batch_size, cfg.data.eval_batch_size),
+                n_avail // extra,
             )
-            if n_fit < n_avail:
+            if n_fit * extra < n_avail:
                 # never shrink the mesh silently (an 8-chip pod with the
                 # chaos preset's bs 4 would otherwise train on 4 chips)
                 self.logger.warning(
                     "MESH SHRUNK: %d devices available but "
                     "gcd(batch_size=%d, eval_batch_size=%d) only shards over "
-                    "%d — scale data.batch_size/eval_batch_size to use the "
-                    "full mesh",
+                    "%d (x%d extra-axis devices) — scale data.batch_size/"
+                    "eval_batch_size to use the full mesh",
                     n_avail, cfg.data.batch_size, cfg.data.eval_batch_size,
-                    n_fit,
+                    n_fit, extra,
                 )
-            mesh = make_mesh(_dc.replace(cfg.mesh, num_devices=n_fit))
+            mesh = make_mesh(_dc.replace(cfg.mesh, num_devices=n_fit * extra))
         self.mesh = mesh
+        # spatial partitioning: shard the image H dim over a 'space' mesh
+        # axis when configured and the size divides it (core/mesh.py)
+        self._space_axis = None
+        if "space" in self.mesh.axis_names and self.mesh.shape["space"] > 1:
+            if cfg.data.img_size % self.mesh.shape["space"] == 0:
+                self._space_axis = "space"
+            else:
+                self.logger.warning(
+                    "mesh 'space' axis (%d) does not divide img_size=%d — "
+                    "spatial partitioning disabled",
+                    self.mesh.shape["space"], cfg.data.img_size,
+                )
         # device-resident dataset: gather batches on device by index so an
         # epoch ships only (B,) index arrays over the host->device link.
         # Multi-device meshes shard the cache over the data axis (MeshCache).
@@ -159,6 +180,10 @@ class Trainer:
             self.train_step = steps_mod.make_supervised_train_step(
                 self.model, self.two_modal, cfg
             )
+
+        # place the state on the mesh: replicated, except the stacked dual
+        # nets shard over a 'net' axis when the mesh has one (model parallel)
+        self.state = place_state(self.state, self.mesh, dual=self.dual)
 
         self.eval_step = steps_mod.make_eval_step(
             self.model, self.two_modal, cfg, dual=self.dual
@@ -217,8 +242,35 @@ class Trainer:
 
     def _shard(self, batch):
         if self.device_resident:
-            return batch  # already gathered on the (single) device
-        return shard_batch(batch, self.mesh, self.cfg.mesh.data_axis)
+            if self._space_axis is None:
+                return batch  # already gathered with the right placement
+            # MeshCache gathers come back data-sharded; re-shard the
+            # image-like leaves over the space axis (on-device collective)
+            import jax.sharding as shd
+
+            spatial = shd.NamedSharding(
+                self.mesh, shd.PartitionSpec(
+                    self.cfg.mesh.data_axis, self._space_axis
+                )
+            )
+            n_space = self.mesh.shape[self._space_axis]
+            n_data = self.mesh.shape[self.cfg.mesh.data_axis]
+
+            def put(x):
+                # ragged (replicated) gathers keep their placement
+                if (
+                    x.ndim >= 3
+                    and x.shape[0] % n_data == 0
+                    and x.shape[1] % n_space == 0
+                ):
+                    return jax.device_put(x, spatial)
+                return x
+
+            return jax.tree_util.tree_map(put, batch)
+        return shard_batch(
+            batch, self.mesh, self.cfg.mesh.data_axis,
+            space_axis=self._space_axis,
+        )
 
     # ------------------------------ epochs ------------------------------
 

@@ -167,3 +167,83 @@ def test_coteach_step_multi_axis_mesh_matches_single_device(shape, axes, space):
     # reduction-order noise to lr-scale sign flips
     for a, b in zip(p_ref, jax.device_get(jax.tree_util.tree_leaves(s.params))):
         np.testing.assert_allclose(a, b, atol=3e-4)
+
+
+@pytest.mark.slow
+def test_trainer_epoch_with_net_space_axes_matches_single_device(tmp_path):
+    """Full epoch protocol through Trainer with mesh.extra_axes=(net,space):
+    history rows match the single-device run (same tolerances as
+    test_multidevice_epoch)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh (conftest env)")
+
+    from aide_tpu.data.tasks.synthetic import SyntheticTask
+    from aide_tpu.engine.trainer import Trainer
+
+    def build(sub, extra):
+        cfg = TrainConfig()
+        cfg.model = ModelConfig(
+            name="unet2", compute_dtype="float32", norm="batch"
+        )
+        cfg.data.task = "synthetic"
+        cfg.data.variant = "proposed"
+        cfg.data.img_size = 16
+        cfg.data.batch_size = 8
+        cfg.data.eval_batch_size = 8
+        cfg.data.num_tta_views = 2
+        cfg.coteach.warmup_epochs = 2
+        cfg.num_epochs = 2
+        cfg.mesh.num_devices = 1 if not extra else 0
+        cfg.mesh.extra_axes = extra
+        cfg.checkpoint_dir = str(tmp_path / sub / "ckpt")
+        cfg.history_dir = str(tmp_path / sub / "hist")
+        task = SyntheticTask(
+            root=str(tmp_path / sub / "synth"),
+            tempmask_folder="tempmasks",
+            num_cases=4,
+            slices_per_case=5,
+            size=16,
+            noisy_fraction=0.5,
+            seed=3,
+        )
+        return Trainer(cfg, task=task)
+
+    tr_one = build("one", ())
+    ref = tr_one.run(2)
+    tr = build("netspace", (("net", 2), ("space", 2)))
+    assert tr.mesh.devices.size == 8
+    assert tr.mesh.shape == {"data": 2, "net": 2, "space": 2}
+    assert tr._space_axis == "space"
+    got = tr.run(2)
+
+    for e, (row_ref, row) in enumerate(zip(ref, got)):
+        # dice is a THRESHOLDED metric: at epoch 1 the tiny unet2's logits
+        # sit near the decision boundary, so the lr-quantum param noise the
+        # step-level test bounds at 3e-4 (Adam sign flips under reduction
+        # reorder) flips boundary pixels and moves per-image dice by a few
+        # 1e-2; epoch 2 additionally compounds through the epoch-1 refresh,
+        # so only the continuous losses are compared there. The rigorous
+        # per-step equivalence is pinned above; the protocol-level claim is
+        # the working-label agreement below.
+        for key, v in row_ref.items():
+            if key.startswith("time"):
+                continue
+            if "dice" in key:
+                if e == 0:
+                    assert abs(row[key] - v) < 0.08, (e, key, v, row[key])
+            elif "loss" in key:
+                np.testing.assert_allclose(
+                    row[key], v, rtol=3e-2, atol=2e-3 if e == 0 else 2e-2,
+                    err_msg=f"epoch{e}:{key}",
+                )
+            else:
+                assert row[key] == v, (e, key, row[key], v)
+
+    # both placements refreshed the same cases to near-identical working
+    # labels (boundary pixels may flip under the lr-quantum param noise —
+    # the pure-DP layout pins exact equality in test_multidevice_epoch)
+    for net in (1, 2):
+        a = np.asarray(tr_one.train_pipe.labels.get(net))
+        b = np.asarray(tr.train_pipe.labels.get(net))
+        frac = float(np.mean(a != b))
+        assert frac < 0.02, (net, frac)
