@@ -113,7 +113,8 @@ class MeshCache:
     dataset for the gather op. Label refresh rows scatter into the shard
     that owns them (out-of-shard updates dropped)."""
 
-    def __init__(self, mesh, data_axis: str, n_rows: int):
+    def __init__(self, mesh, data_axis: str, n_rows: int,
+                 space_axis: Optional[str] = None):
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -123,6 +124,16 @@ class MeshCache:
         self.shard_rows = -(-n_rows // self.n_dev)  # ceil
         self.padded_rows = self.shard_rows * self.n_dev
         self.row_sharding = NamedSharding(mesh, P(data_axis))
+        # spatial partitioning: evenly-shaped gathers come back with image
+        # H additionally sharded over this axis, INSIDE the gather program
+        # (no per-step resharding dispatches in the epoch path)
+        self.space_axis = (
+            space_axis
+            if space_axis
+            and space_axis in mesh.axis_names
+            and mesh.shape[space_axis] > 1
+            else None
+        )
         self._jitted = {}
 
     def pad(self, arr: np.ndarray) -> np.ndarray:
@@ -143,17 +154,35 @@ class MeshCache:
         import jax
 
         b = int(idx.shape[0])
-        key = ("g", b, tuple(sorted(data)))
+        spatial = {
+            k: self._spatial_leaf(v) for k, v in data.items()
+        }
+        key = ("g", b, tuple(sorted((k, spatial[k]) for k in data)))
         if key not in self._jitted:
-            self._jitted[key] = jax.jit(self._make_gather(b % self.n_dev == 0))
+            self._jitted[key] = jax.jit(
+                self._make_gather(b % self.n_dev == 0, spatial)
+            )
         return self._jitted[key](data, idx)
 
-    def _make_gather(self, sharded_out: bool):
+    def _spatial_leaf(self, v) -> bool:
+        """Image-like rows ((H, W[, C]) beyond the row dim) whose H divides
+        the space axis shard their H in the gather output."""
+        return (
+            self.space_axis is not None
+            and v.ndim >= 3
+            and v.shape[1] % self.mesh.shape[self.space_axis] == 0
+        )
+
+    def _make_gather(self, sharded_out: bool, spatial):
         import jax
         import jax.numpy as jnp
         from jax.sharding import PartitionSpec as P
 
         axis, n_dev, shard_rows = self.axis, self.n_dev, self.shard_rows
+        space = self.space_axis if sharded_out else None
+        n_space = self.mesh.shape[space] if space else 1
+        # ragged (replicated) gathers never shard spatially
+        spatial = {k: bool(sp) and space is not None for k, sp in spatial.items()}
 
         def body(local, idx):
             d = jax.lax.axis_index(axis)
@@ -161,7 +190,7 @@ class MeshCache:
             rel = jnp.clip(idx - lo, 0, shard_rows - 1)
             mask = (idx >= lo) & (idx < lo + shard_rows)
 
-            def serve(v):
+            def serve(v, spatial_leaf):
                 part = jnp.take(v, rel, axis=0)
                 m = mask.reshape((-1,) + (1,) * (part.ndim - 1))
                 part = jnp.where(m, part, jnp.zeros_like(part))
@@ -171,12 +200,23 @@ class MeshCache:
                     full = jax.lax.dynamic_slice_in_dim(
                         full, d * b_local, b_local, axis=0
                     )
+                if spatial_leaf:
+                    s = jax.lax.axis_index(space)
+                    h_local = full.shape[1] // n_space
+                    full = jax.lax.dynamic_slice_in_dim(
+                        full, s * h_local, h_local, axis=1
+                    )
                 return full
 
-            return {k: serve(v) for k, v in local.items()}
+            return {k: serve(v, spatial[k]) for k, v in local.items()}
 
-        out_spec = P(axis) if sharded_out else P()
-        # tree-prefix specs: P(axis) applies to every leaf of the data dict
+        if sharded_out:
+            out_spec = {
+                k: P(axis, space) if (space and sp) else P(axis)
+                for k, sp in spatial.items()
+            }
+        else:
+            out_spec = {k: P() for k in spatial}
         fn = jax.shard_map(
             body,
             mesh=self.mesh,
@@ -400,7 +440,8 @@ class SlicePipeline:
 
     # ------------------------- device residency -------------------------
 
-    def to_device(self, mesh=None, data_axis: str = "data") -> None:
+    def to_device(self, mesh=None, data_axis: str = "data",
+                  space_axis: Optional[str] = None) -> None:
         """Upload the whole decode-once cache to the accelerator ONCE;
         subsequent batches are gathered ON DEVICE from a (B,) index array.
 
@@ -427,7 +468,9 @@ class SlicePipeline:
             data["fill"] = self.fills[0]
         data["target"] = self.targets
         if mesh is not None and mesh.devices.size > 1:
-            self._mesh_cache = MeshCache(mesh, data_axis, len(self.specs))
+            self._mesh_cache = MeshCache(
+                mesh, data_axis, len(self.specs), space_axis=space_axis
+            )
             self._device_data = self._mesh_cache.put(data)
         else:
             self._mesh_cache = None

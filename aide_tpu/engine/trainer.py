@@ -124,6 +124,19 @@ class Trainer:
         # spatial partitioning: shard the image H dim over a 'space' mesh
         # axis when configured and the size divides it (core/mesh.py)
         self._space_axis = None
+        if (
+            "net" in self.mesh.axis_names
+            and self.mesh.shape["net"] > 1
+            and not self.dual
+        ):
+            # a net axis only parallelizes the dual co-teaching pair;
+            # replicating a single net over it wastes half the mesh
+            self.logger.warning(
+                "mesh 'net' axis (%d) configured but this is a single-net "
+                "(%s) run — the state replicates over it; drop the axis or "
+                "grow data/space instead",
+                self.mesh.shape["net"], cfg.data.variant,
+            )
         if "space" in self.mesh.axis_names and self.mesh.shape["space"] > 1:
             if cfg.data.img_size % self.mesh.shape["space"] == 0:
                 self._space_axis = "space"
@@ -139,8 +152,12 @@ class Trainer:
         dc = cfg.data.device_cache
         self.device_resident = dc in ("on", "auto")
         if self.device_resident:
-            self.train_pipe.to_device(self.mesh, cfg.mesh.data_axis)
-            self.test_pipe.to_device(self.mesh, cfg.mesh.data_axis)
+            self.train_pipe.to_device(
+                self.mesh, cfg.mesh.data_axis, self._space_axis
+            )
+            self.test_pipe.to_device(
+                self.mesh, cfg.mesh.data_axis, self._space_axis
+            )
         self.model = build_model(cfg.model)
         spe = self.train_pipe.steps_per_epoch(cfg.data.batch_size)
         tx = make_optimizer(cfg.optim, spe, cfg.num_epochs)
@@ -242,31 +259,9 @@ class Trainer:
 
     def _shard(self, batch):
         if self.device_resident:
-            if self._space_axis is None:
-                return batch  # already gathered with the right placement
-            # MeshCache gathers come back data-sharded; re-shard the
-            # image-like leaves over the space axis (on-device collective)
-            import jax.sharding as shd
-
-            spatial = shd.NamedSharding(
-                self.mesh, shd.PartitionSpec(
-                    self.cfg.mesh.data_axis, self._space_axis
-                )
-            )
-            n_space = self.mesh.shape[self._space_axis]
-            n_data = self.mesh.shape[self.cfg.mesh.data_axis]
-
-            def put(x):
-                # ragged (replicated) gathers keep their placement
-                if (
-                    x.ndim >= 3
-                    and x.shape[0] % n_data == 0
-                    and x.shape[1] % n_space == 0
-                ):
-                    return jax.device_put(x, spatial)
-                return x
-
-            return jax.tree_util.tree_map(put, batch)
+            # already gathered with the right placement (MeshCache emits
+            # image leaves spatially sharded when a space axis is on)
+            return batch
         return shard_batch(
             batch, self.mesh, self.cfg.mesh.data_axis,
             space_axis=self._space_axis,

@@ -22,7 +22,7 @@ import pytest
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from aide_tpu.core.config import MeshConfig, ModelConfig, TrainConfig
-from aide_tpu.core.mesh import make_mesh
+from aide_tpu.core.mesh import make_mesh, place_state, shard_batch
 from aide_tpu.engine import steps
 from aide_tpu.engine.state import DualTrainState, stack_trees
 from aide_tpu.models import build_model
@@ -31,18 +31,6 @@ from aide_tpu.ops import make_optimizer
 
 def _clone(t):
     return jax.tree_util.tree_map(lambda x: jnp.array(np.asarray(x)), t)
-
-
-def _shard_net(tree, mesh, net_axis="net"):
-    net_sh = NamedSharding(mesh, P(net_axis))
-    repl = NamedSharding(mesh, P())
-
-    def put(x):
-        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == 2:
-            return jax.device_put(x, net_sh)
-        return jax.device_put(x, repl)
-
-    return jax.tree_util.tree_map(put, tree)
 
 
 def test_conv1x1_is_param_compatible_with_nn_conv():
@@ -65,35 +53,53 @@ def test_conv1x1_is_param_compatible_with_nn_conv():
 
 
 @pytest.mark.slow
-def test_net_sharded_forward_matches_replicated():
-    """The vmapped dual-net forward with params sharded over `net` equals
-    the replicated forward (this is exactly the case the upstream 1x1-conv
-    SPMD bug breaks without Conv1x1)."""
+@pytest.mark.parametrize(
+    "mc,two_modal",
+    [
+        (dict(name="unet4"), False),
+        (dict(name="unet4", learned_bilinear=True), False),   # ConvTranspose
+        (dict(name="unet4", packed=True), False),             # struct_conv
+        (dict(name="fuseunet", base_width=4, packed=True), True),  # flagship
+        (dict(name="unetsa", base_width=4), False),           # attention 1x1s
+    ],
+    ids=["plain", "convtranspose", "packed", "fuseunet-packed", "attention"],
+)
+def test_net_sharded_forward_matches_replicated(mc, two_modal):
+    """The vmapped dual-net forward with params sharded over `net` (via the
+    production core/mesh.place_state) equals the replicated forward, for
+    EVERY model family / conv lowering: plain bilinear, ConvTranspose
+    (lhs-dilated conv), packed struct_conv (the production execution mode),
+    and the attention variants — this is exactly the case the upstream
+    vmapped-1x1-conv SPMD bug breaks without blocks.Conv1x1."""
     if len(jax.devices()) < 8:
         pytest.skip("needs the 8-device CPU mesh (conftest env)")
-    model = build_model(ModelConfig(name="unet4", compute_dtype="float32",
-                                    norm="group"))
-    v1 = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)), train=False)
-    v2 = model.init(jax.random.key(1), jnp.zeros((1, 16, 16, 3)), train=False)
+    model = build_model(
+        ModelConfig(compute_dtype="float32", norm="group", **mc)
+    )
+    z = jnp.zeros((1, 16, 16, 3))
+    args = (z, z) if two_modal else (z,)
+    v1 = model.init(jax.random.key(0), *args, train=False)
+    v2 = model.init(jax.random.key(1), *args, train=False)
     params = stack_trees(v1["params"], v2["params"])
     rng = np.random.default_rng(5)
     img = jnp.asarray(rng.normal(size=(8, 16, 16, 3)).astype(np.float32))
+    xs = (img, img) if two_modal else (img,)
 
     @jax.jit
-    def run(params, img):
+    def run(params, *xs):
         return jax.vmap(
-            lambda p: model.apply({"params": p}, img, train=False)
+            lambda p: model.apply({"params": p}, *xs, train=False)
         )(params)
 
-    ref = np.asarray(run(params, img))
+    ref = np.asarray(run(params, *xs))
     mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), ("data", "net"))
     out = np.asarray(
         run(
-            _shard_net(params, mesh),
-            jax.device_put(img, NamedSharding(mesh, P("data"))),
+            place_state(params, mesh, dual=True),
+            *(jax.device_put(x, NamedSharding(mesh, P("data"))) for x in xs),
         )
     )
-    np.testing.assert_allclose(out, ref, atol=1e-5)
+    np.testing.assert_allclose(out, ref, atol=1e-4)
 
 
 @pytest.mark.slow
@@ -135,29 +141,17 @@ def test_coteach_step_multi_axis_mesh_matches_single_device(shape, axes, space):
     key = jax.random.key(9)
     rate = jnp.asarray(0.5)
 
-    def put_batch(mesh, space_axis):
-        out = {}
-        for k, v in batch.items():
-            spec = (
-                P("data", space_axis)
-                if (v.ndim >= 3 and space_axis)
-                else P("data")
-            )
-            out[k] = jax.device_put(v, NamedSharding(mesh, spec))
-        return out
-
     mesh1 = make_mesh(MeshConfig(num_devices=1))
-    s_ref, m_ref = step(_clone(base), put_batch(mesh1, None), key, rate)
+    s_ref, m_ref = step(
+        _clone(base), shard_batch(batch, mesh1), key, rate
+    )
     p_ref = jax.device_get(jax.tree_util.tree_leaves(s_ref.params))
     m_ref = jax.device_get(m_ref)
 
+    # the production placement helpers, not bespoke test copies
     mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(shape), axes)
-    st = (
-        _shard_net(_clone(base), mesh)
-        if "net" in axes and mesh.shape["net"] > 1
-        else jax.device_put(_clone(base), NamedSharding(mesh, P()))
-    )
-    s, m = step(st, put_batch(mesh, space), key, rate)
+    st = place_state(_clone(base), mesh, dual=True)
+    s, m = step(st, shard_batch(batch, mesh, space_axis=space), key, rate)
     m = jax.device_get(m)
     for k in ("loss1", "loss2", "dice1_sum", "dice2_sum"):
         assert np.isclose(float(m_ref[k]), float(m[k]), rtol=1e-5, atol=1e-5), (
