@@ -191,3 +191,41 @@ def test_make_mesh_rejects_overask():
     too_many = len(jax.devices()) + 1
     with pytest.raises(ValueError, match="num_devices"):
         make_mesh(MeshConfig(num_devices=too_many))
+
+
+@needs_mesh
+def test_mesh_cache_gather_spatial_output(rng):
+    """With a space axis, evenly-shaped gathers come back with image H
+    sharded over it (from inside the gather program — no resharding
+    dispatches in the epoch path), ragged gathers stay replicated, and the
+    values match numpy either way."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    mesh = Mesh(
+        np.asarray(jax.devices()[:8]).reshape(2, 2, 2),
+        ("data", "net", "space"),
+    )
+    n, hw = 13, 8
+    data = {
+        "image": rng.integers(0, 255, (n, hw, hw, 3)).astype(np.uint8),
+        "scale": rng.random((n, 3)).astype(np.float32),
+        "target": rng.integers(0, 2, (n, hw, hw)).astype(np.uint8),
+    }
+    cache = MeshCache(mesh, "data", n, space_axis="space")
+    dev = cache.put(data)
+
+    for b in (4, 5):  # divisible (spatially sharded out) and ragged
+        idx = rng.integers(0, n, b).astype(np.int32)
+        out = cache.gather(dev, idx)
+        img_spec = out["image"].sharding.spec
+        if b % 2 == 0:
+            assert tuple(img_spec)[:2] == ("data", "space"), img_spec
+            assert tuple(out["scale"].sharding.spec) == ("data",)
+        else:
+            assert all(s is None for s in tuple(img_spec)), img_spec
+        host = jax.device_get(out)
+        np.testing.assert_array_equal(host["image"], data["image"][idx])
+        np.testing.assert_allclose(host["scale"], data["scale"][idx])
+        np.testing.assert_array_equal(
+            host["target"], data["target"][idx].astype(np.int32)
+        )
