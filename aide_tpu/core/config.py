@@ -192,6 +192,15 @@ class MeshConfig:
     # e.g. extra_axes=(("net", 2), ("space", 2)) on 8 chips trains with
     # data=2 x net=2 x space=2.
     extra_axes: Tuple[Tuple[str, int], ...] = ()
+    # Multi-host (DCN): set coordinator_address (host:port) on EVERY
+    # process to join them into one job (core/mesh.
+    # maybe_initialize_distributed). TPU pods autodetect num_processes /
+    # process_id — leave them 0 / -1; CPU-backend testing sets both.
+    # File artifacts (checkpoints, history, eval outputs) are written by
+    # process 0 only, assuming the usual shared filesystem.
+    coordinator_address: str = ""
+    num_processes: int = 0
+    process_id: int = -1
 
 
 @dataclass

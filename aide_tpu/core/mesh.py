@@ -18,6 +18,65 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from aide_tpu.core.config import MeshConfig
 
 
+_distributed = {"initialized": False}
+
+
+def maybe_initialize_distributed(cfg: Optional[MeshConfig] = None) -> None:
+    """Multi-host (DCN) entry: join this process to the training job named
+    by ``mesh.coordinator_address`` before any backend use. Idempotent; a
+    no-op when no coordinator is configured (the single-controller case).
+
+    On TPU pods ``jax.distributed.initialize`` autodetects process count /
+    index; for CPU testing (gloo collectives) pass both explicitly. After
+    this, ``jax.devices()`` spans every host and one global mesh drives
+    GSPMD — data-parallel gradient psums ride ICI within a slice and DCN
+    across hosts.
+    """
+    cfg = cfg or MeshConfig()
+    if not cfg.coordinator_address or _distributed["initialized"]:
+        return
+    import os
+
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        # CPU backend needs an explicit cross-process collectives impl
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(
+        cfg.coordinator_address,
+        num_processes=cfg.num_processes or None,
+        process_id=cfg.process_id if cfg.process_id >= 0 else None,
+    )
+    _distributed["initialized"] = True
+
+
+def is_primary() -> bool:
+    """True on the process that owns file artifacts (checkpoints, history,
+    eval outputs) in a multi-host job — assumes the usual shared
+    filesystem; single-process jobs are always primary."""
+    return jax.process_index() == 0
+
+
+def fetch(tree):
+    """``jax.device_get`` that works across processes.
+
+    Arrays sharded over other hosts' devices are not fully addressable;
+    they are allgathered first (a COLLECTIVE — every process must call
+    fetch on the same tree, even a process that will discard the result).
+    Single-process: exactly device_get, one batched transfer.
+    """
+    if jax.process_count() == 1:
+        return jax.device_get(tree)
+    from jax.experimental import multihost_utils
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    out = []
+    for x in leaves:
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            out.append(multihost_utils.process_allgather(x, tiled=True))
+        else:
+            out.append(x)
+    return jax.tree_util.tree_unflatten(treedef, jax.device_get(out))
+
+
 def make_mesh(cfg: Optional[MeshConfig] = None, devices=None) -> Mesh:
     """Build a 1-D (or extended) mesh over the available devices."""
     cfg = cfg or MeshConfig()

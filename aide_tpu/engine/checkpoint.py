@@ -18,15 +18,20 @@ from typing import Any, Dict, Optional
 import jax
 from flax import serialization
 
+from aide_tpu.core.mesh import fetch, is_primary
 from aide_tpu.engine.state import DualTrainState, TrainState  # noqa: F401
 
 
 def _write(path: str, tree: Any, meta: Dict) -> None:
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     # ONE batched device->host transfer first: to_bytes would otherwise
     # fetch each leaf in its own round trip, which on a tunneled chip turns
-    # a checkpoint into minutes (hundreds of leaves x link latency)
-    host_tree = jax.device_get(tree)
+    # a checkpoint into minutes (hundreds of leaves x link latency).
+    # fetch() is a COLLECTIVE on multi-host jobs — every process reaches it
+    # — but only the primary touches the (shared) filesystem.
+    host_tree = fetch(tree)
+    if not is_primary():
+        return
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "wb") as fh:
         fh.write(serialization.to_bytes(host_tree))
     with open(path + ".json", "w") as fh:
@@ -69,7 +74,7 @@ def save_best_bundle(
     hundreds of tiny slice programs, each a round trip on a tunneled chip
     (measured: minutes per checkpoint). Here the stacked tree is fetched
     once and sliced with NumPy on host."""
-    host = jax.device_get(tree)
+    host = fetch(tree)
     if dual:
         for net in (1, 2):
             v = {

@@ -34,7 +34,14 @@ import numpy as np
 from aide_tpu.core import prng
 from aide_tpu.core.config import TrainConfig
 from aide_tpu.core.logging import record_params, setup_logging
-from aide_tpu.core.mesh import make_mesh, place_state, shard_batch
+from aide_tpu.core.mesh import (
+    fetch,
+    is_primary,
+    make_mesh,
+    maybe_initialize_distributed,
+    place_state,
+    shard_batch,
+)
 from aide_tpu.data.pipeline import SlicePipeline
 from aide_tpu.data.tasks import build_task
 from aide_tpu.engine import checkpoint as ckpt
@@ -47,6 +54,9 @@ from aide_tpu.ops.schedules import make_optimizer, rate_schedule
 
 class Trainer:
     def __init__(self, cfg: TrainConfig, task=None, mesh=None, logger=None):
+        # multi-host: join the job BEFORE any backend query (no-op unless
+        # mesh.coordinator_address is configured)
+        maybe_initialize_distributed(cfg.mesh)
         self.cfg = cfg
         self.logger = logger or setup_logging(cfg.history_dir, cfg.experiment_name)
         record_params(self.logger, cfg)
@@ -286,7 +296,7 @@ class Trainer:
     def _finalize(totals) -> Dict[str, float]:
         if totals is None:
             return {}
-        host = jax.device_get(totals)
+        host = fetch(totals)
         count = max(float(host.pop("count")), 1.0)
         return {k: float(v) / count for k, v in host.items()}
 
@@ -356,7 +366,9 @@ class Trainer:
                 if cfg.coteach.refresh_skip_empty and vol.sum() == 0:
                     continue  # kidney convention (trainkidney:417)
                 idxs = self.train_pipe.case_indices(r.case_id)
-                self.train_pipe.labels.refresh_case(net_idx + 1, idxs, vol)
+                self.train_pipe.labels.refresh_case(
+                    net_idx + 1, idxs, vol, mirror=is_primary()
+                )
                 refreshed.append(r.case_id)
             self.logger.info(
                 "Mask {} modify for net{}".format(refreshed, net_idx + 1)
@@ -444,7 +456,7 @@ class Trainer:
         # Gate and path read the SAME field: an injected task with
         # tempmask_folder="" must not turn src into the dataset root
         # (copytree of the whole dataset per best epoch).
-        if self.dual and self.task.tempmask_folder:
+        if self.dual and self.task.tempmask_folder and is_primary():
             src = os.path.join(self.task.root, self.task.tempmask_folder)
             if os.path.isdir(src):
                 shutil.copytree(src, src.rstrip("/") + "_best", dirs_exist_ok=True)
@@ -617,6 +629,8 @@ class Trainer:
         trainchaos_comparison_1case.py:127-128,206-230)."""
         import json
 
+        if not is_primary():
+            return
         os.makedirs(self.cfg.history_dir, exist_ok=True)
         path = os.path.join(
             self.cfg.history_dir, f"{self.cfg.experiment_name}_history.json"

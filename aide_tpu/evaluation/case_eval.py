@@ -106,6 +106,8 @@ def infer_cases(
 
     import jax
 
+    from aide_tpu.core.mesh import fetch
+
     if predict_all is not None and pipe.device_image_data is not None:
         # the WHOLE eval set as one device program (lax.map over batches,
         # gathering on device) — one dispatch + one fetch; per-call
@@ -114,7 +116,7 @@ def infer_cases(
             padded.reshape(-1, batch_size), np.int32
         )
         out = np.asarray(
-            jax.device_get(
+            fetch(
                 predict_all(state, pipe.device_image_data, idx_mat)
             )
         )  # (N, 2, B, H, Wp) dual / (N, B, H, Wp) single
@@ -134,7 +136,7 @@ def infer_cases(
             )
             for s in range(0, len(padded), batch_size)
         ]
-        fetched = jax.device_get(pending)
+        fetched = fetch(pending)
         chunks = [
             np.asarray(p) if dual else np.asarray(p)[None] for p in fetched
         ]  # each (n_nets, B, H, W) — or (n_nets, B, H, W/8) bit-packed
