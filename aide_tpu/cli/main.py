@@ -221,13 +221,13 @@ def cmd_predict(args) -> int:
 
 
 def cmd_export(args) -> int:
-    """Convert an aide_tpu .msgpack checkpoint into a reference-loadable
-    torch .pkl ({'net': state_dict, ...}) so reference users can evaluate
-    models trained here with their own scripts
-    (evalchaos_comparison_1cases.py:154-157)."""
+    """Convert an aide_tpu .msgpack checkpoint into either a
+    reference-loadable torch .pkl ({'net': state_dict, ...}, so reference
+    users can evaluate models trained here with their own scripts —
+    evalchaos_comparison_1cases.py:154-157) or a framework-free StableHLO
+    serving artifact (--format serve, aide_tpu/interop/serving.py)."""
     cfg = _build_config(args)
     from aide_tpu.engine import checkpoint as ckpt_mod
-    from aide_tpu.interop import export_reference_checkpoint
     from aide_tpu.models import build_model, is_two_modal
     import jax
     import jax.numpy as jnp
@@ -237,7 +237,8 @@ def cmd_export(args) -> int:
         return 2
     model = build_model(cfg.model)
     s = cfg.data.img_size
-    dummy = (jnp.zeros((1, s, s, 3)),) * (2 if is_two_modal(cfg.model.name) else 1)
+    two_modal = is_two_modal(cfg.model.name)
+    dummy = (jnp.zeros((1, s, s, 3)),) * (2 if two_modal else 1)
     template = model.init(jax.random.key(0), *dummy, train=False)
     variables = ckpt_mod.load_net(args.checkpoint, template)
     try:
@@ -245,15 +246,25 @@ def cmd_export(args) -> int:
         meta = ckpt_mod.read_meta(args.checkpoint)
     except FileNotFoundError:
         meta = {}
-    # sidecar meta stores the test metrics unprefixed ('loss1'/'loss');
-    # the 'test_' prefix exists only on history rows
-    export_reference_checkpoint(
-        args.output, variables, cfg.model.name, cfg.model.learned_bilinear,
-        meta={
-            "loss": float(meta.get("loss1", meta.get("loss", 0.0))),
-            "epoch": int(meta.get("epoch", 0)),
-        },
-    )
+    if getattr(args, "format", "pkl") == "serve":
+        from aide_tpu.interop.serving import export_serving_artifact
+
+        export_serving_artifact(
+            args.output, model, variables, s, two_modal,
+            meta={"model": cfg.model.name, "epoch": int(meta.get("epoch", 0))},
+        )
+    else:
+        from aide_tpu.interop import export_reference_checkpoint
+
+        # sidecar meta stores the test metrics unprefixed ('loss1'/'loss');
+        # the 'test_' prefix exists only on history rows
+        export_reference_checkpoint(
+            args.output, variables, cfg.model.name, cfg.model.learned_bilinear,
+            meta={
+                "loss": float(meta.get("loss1", meta.get("loss", 0.0))),
+                "epoch": int(meta.get("epoch", 0)),
+            },
+        )
     print(json.dumps({"output": os.path.abspath(args.output)}))
     return 0
 
@@ -294,11 +305,18 @@ def main(argv=None) -> int:
     p_pred.set_defaults(fn=cmd_predict)
 
     p_exp = sub.add_parser(
-        "export", help="convert a .msgpack checkpoint to a reference torch .pkl"
+        "export",
+        help="convert a .msgpack checkpoint to a reference torch .pkl or a "
+             "StableHLO serving artifact",
     )
     _add_common(p_exp)
     p_exp.add_argument("--checkpoint", help="aide_tpu net checkpoint (.msgpack)")
-    p_exp.add_argument("--output", help="output .pkl path")
+    p_exp.add_argument("--output", help="output path")
+    p_exp.add_argument(
+        "--format", choices=("pkl", "serve"), default="pkl",
+        help="pkl: reference torch checkpoint; serve: framework-free "
+             "StableHLO function with baked-in weights (jax.export)",
+    )
     p_exp.set_defaults(fn=cmd_export)
 
     p_ls = sub.add_parser("presets", help="list available presets")

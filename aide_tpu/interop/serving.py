@@ -1,0 +1,83 @@
+"""Self-contained serving artifacts via ``jax.export`` (StableHLO).
+
+The reference's deployment story is "load the .pkl in our eval script"
+(/root/reference/train_files/evalchaos_comparison_1cases.py:154-157); a
+production TPU serving path wants a framework-free artifact instead. Here
+one network's weights are BAKED INTO an exported StableHLO function
+(symbolic batch dimension, fixed image size), serialized with jax.export's
+versioned format: any later JAX process — a serving binary, a different
+accelerator build — can ``deserialize(...).call(images)`` without aide_tpu
+installed or the model code present.
+
+The exported function maps normalized NHWC float32 images (one or two
+modalities) to fp32 class probabilities (B, H, W, C).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Callable, Dict, Tuple
+
+
+MAGIC = b"AIDETPU1"
+
+
+def export_serving_artifact(
+    path: str,
+    model,
+    variables: Dict,
+    img_size: int,
+    two_modal: bool,
+    meta: Dict | None = None,
+) -> None:
+    """Write ``path`` = MAGIC + u64 header length + JSON header + the
+    serialized exported function."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jax_export
+
+    def serve(*images):
+        logits = model.apply(variables, *images, train=False)
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+    (b,) = jax_export.symbolic_shape("b")
+    spec = jax.ShapeDtypeStruct((b, img_size, img_size, 3), jnp.float32)
+    args = (spec, spec) if two_modal else (spec,)
+    exported = jax_export.export(jax.jit(serve))(*args)
+    payload = exported.serialize()
+
+    header = dict(meta or {})
+    header.update(
+        img_size=int(img_size),
+        two_modal=bool(two_modal),
+        input_dtype="float32",
+        output="softmax probabilities (B, H, W, C), float32",
+        jax_version=jax.__version__,
+    )
+    hdr = json.dumps(header).encode()
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(MAGIC)
+        fh.write(len(hdr).to_bytes(8, "little"))
+        fh.write(hdr)
+        fh.write(payload)
+    os.replace(tmp, path)
+
+
+def load_serving_artifact(path: str) -> Tuple[Callable[..., Any], Dict]:
+    """(callable, header). The callable takes NHWC float32 image array(s)
+    and returns fp32 probabilities — no aide_tpu model code involved."""
+    from jax import export as jax_export
+
+    with open(path, "rb") as fh:
+        blob = fh.read()
+    if not blob.startswith(MAGIC):
+        raise ValueError(f"{path!r} is not an aide_tpu serving artifact")
+    off = len(MAGIC)
+    hlen = int.from_bytes(blob[off : off + 8], "little")
+    off += 8
+    header = json.loads(blob[off : off + hlen].decode())
+    exported = jax_export.deserialize(blob[off + hlen :])
+    return exported.call, header

@@ -319,3 +319,93 @@ def test_export_rejects_group_norm(tmp_path):
     variables = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)), train=False)
     with pytest.raises(KeyError, match="norm='batch'"):
         variables_to_state_dict(variables, "unet4")
+
+
+# ------------------------- serving artifacts -------------------------
+
+
+def test_serving_artifact_roundtrip(tmp_path):
+    """export_serving_artifact bakes one net's weights into a StableHLO
+    function (symbolic batch) that deserializes WITHOUT model code and
+    matches model.apply softmax at any batch size."""
+    import jax
+    import jax.numpy as jnp
+
+    from aide_tpu.core.config import ModelConfig
+    from aide_tpu.interop.serving import (
+        export_serving_artifact,
+        load_serving_artifact,
+    )
+    from aide_tpu.models import build_model
+
+    model = build_model(
+        ModelConfig(name="unet2", compute_dtype="float32", norm="group")
+    )
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1, 16, 16, 3)), train=False
+    )
+    path = str(tmp_path / "unet2.serve")
+    export_serving_artifact(
+        path, model, variables, 16, two_modal=False, meta={"model": "unet2"}
+    )
+
+    call, header = load_serving_artifact(path)
+    assert header["model"] == "unet2"
+    assert header["img_size"] == 16
+
+    rng = np.random.default_rng(0)
+    for b in (1, 3):  # symbolic batch dimension
+        x = rng.normal(size=(b, 16, 16, 3)).astype(np.float32)
+        got = np.asarray(call(x))
+        want = np.asarray(
+            jax.nn.softmax(
+                model.apply(variables, x, train=False).astype(jnp.float32),
+                axis=-1,
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        assert got.shape == (b, 16, 16, 2)
+
+
+def test_serving_artifact_two_modal(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from aide_tpu.core.config import ModelConfig
+    from aide_tpu.interop.serving import (
+        export_serving_artifact,
+        load_serving_artifact,
+    )
+    from aide_tpu.models import build_model
+
+    model = build_model(
+        ModelConfig(name="fuseunet", base_width=2, compute_dtype="float32",
+                    norm="group")
+    )
+    z = jnp.zeros((1, 16, 16, 3))
+    variables = model.init(jax.random.key(0), z, z, train=False)
+    path = str(tmp_path / "fuse.serve")
+    export_serving_artifact(path, model, variables, 16, two_modal=True)
+
+    call, header = load_serving_artifact(path)
+    assert header["two_modal"] is True
+    rng = np.random.default_rng(1)
+    a = rng.normal(size=(2, 16, 16, 3)).astype(np.float32)
+    b = rng.normal(size=(2, 16, 16, 3)).astype(np.float32)
+    got = np.asarray(call(a, b))
+    want = np.asarray(
+        jax.nn.softmax(
+            model.apply(variables, a, b, train=False).astype(jnp.float32),
+            axis=-1,
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_serving_artifact_rejects_foreign_file(tmp_path):
+    from aide_tpu.interop.serving import load_serving_artifact
+
+    p = tmp_path / "bogus.serve"
+    p.write_bytes(b"not an artifact")
+    with pytest.raises(ValueError, match="serving artifact"):
+        load_serving_artifact(str(p))
