@@ -18,6 +18,22 @@ from aide_tpu.core.registry import TASKS
 from aide_tpu.data.io import png
 from aide_tpu.data.tasks.base import SliceSpec, Task, gray_to_rgb
 
+# Appearance "domains" for the cross-domain transfer regime (the reference's
+# prostate ISBI-3T vs ISBI-DX protocol: same anatomy, different scanner —
+# /root/reference/train_files/trainprostate_proposed_isbi3ttransferisbidx.py).
+# Only APPEARANCE distributions differ; the anatomy (shape) draws are shared,
+# so case k has the same organ in every domain. Per-image normalization
+# removes base/global-gain shifts, so the learnable gap lives in the
+# contrast-to-noise ratio, bias-field strength, and distractor rendering.
+_DOMAINS = {
+    # bright-fg, mild bias, clean-ish: the "3T" look
+    "a": dict(contrast=(14.0, 28.0), base=(60.0, 110.0),
+              noise=(9.0, 15.0), bias=10.0, d_gain=(0.7, 1.0)),
+    # low CNR, heavy bias field, hot distractors: the "DX" look
+    "b": dict(contrast=(7.0, 14.0), base=(130.0, 180.0),
+              noise=(13.0, 22.0), bias=26.0, d_gain=(1.0, 1.6)),
+}
+
 
 @TASKS.register("synthetic")
 class SyntheticTask(Task):
@@ -38,6 +54,7 @@ class SyntheticTask(Task):
         num_classes: int = 2,
         style: str = "ellipse",
         seed: int = 0,
+        domain_split: str = "",
         **kw,
     ):
         super().__init__(root or ".", tempmask_folder)
@@ -71,11 +88,42 @@ class SyntheticTask(Task):
         # cases with clean labels); a large offset gives unseen anatomy.
         self.test_case_offset = int(kw.pop("test_case_offset", 0))
         self.num_test_cases = int(kw.pop("num_test_cases", num_cases))
+        # cross-domain transfer: "src:tgt" (domains from _DOMAINS) renders
+        # the labeled budget (cases < clean_cases) with the SOURCE domain's
+        # appearance and every other train case plus the held-out test
+        # split with the TARGET domain's — the synthetic analogue of the
+        # reference's labeled-3T + unlabeled-DX prostate protocol
+        # (/root/reference/datasetprostate_proposed/dataset.py, CSVs under
+        # Prostate_split2D_crossdomain/). Empty string = single domain.
+        self.domain_split = domain_split
+        if domain_split:
+            parts = domain_split.split(":")
+            if (
+                len(parts) != 2
+                or any(p not in _DOMAINS for p in parts)
+            ):
+                raise ValueError(
+                    f"domain_split must be 'src:tgt' with domains in "
+                    f"{sorted(_DOMAINS)}, got {domain_split!r}"
+                )
+            if style not in ("hard", "xhard"):
+                raise ValueError(
+                    "domain_split needs the hard/xhard generator styles"
+                )
         if kw:
             # data.task_options is forwarded here verbatim; a swallowed typo
             # (e.g. noisy_fracton) would silently train with defaults
             raise TypeError(f"SyntheticTask: unknown options {sorted(kw)}")
         self.seed = seed
+
+    def _domain_of(self, case: int) -> str:
+        """Source domain for the labeled budget, target for everything else
+        (including the held-out test segment — transfer is scored on the
+        target domain, like the reference's crossdomain val CSVs)."""
+        if not self.domain_split:
+            return ""
+        src, tgt = self.domain_split.split(":")
+        return src if case < self.clean_cases else tgt
 
     def clean_case_ids(self):
         return [f"case{c:02d}" for c in range(self.clean_cases)]
@@ -137,6 +185,33 @@ class SyntheticTask(Task):
             n_distract = 2
             ecc = 0.8
             d_r = s * (0.05 + 0.05 * crng.random(n_distract))
+        bias_amp = 12.0
+        d_gain = contrast
+
+        domain = self._domain_of(case)
+        if domain:
+            # domain shift = re-draw the APPEARANCE parameters from the
+            # domain's distributions (case-keyed, so each case keeps one
+            # coherent look); the shape draws above are untouched — the
+            # same organ imaged by a different scanner
+            drng = np.random.default_rng(
+                (
+                    (self.seed * 7 + 13) * 999983
+                    + case * 613
+                    + 104729 * (1 + sorted(_DOMAINS).index(domain))
+                ) % (2**31)
+            )
+            spec = _DOMAINS[domain]
+
+            def draw(lo_hi):
+                lo, hi = lo_hi
+                return lo + (hi - lo) * drng.random()
+
+            contrast = draw(spec["contrast"])
+            base = draw(spec["base"])
+            noise_sigma = draw(spec["noise"])
+            bias_amp = spec["bias"]
+            d_gain = contrast * draw(spec["d_gain"])
 
         yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
         cy = cy0 + rng.normal(0, 0.03 * s)
@@ -163,11 +238,11 @@ class SyntheticTask(Task):
             dcx = s * rng.uniform(0.1, 0.9)
             ell = ((yy - dcy) / d_r[d]) ** 2 + ((xx - dcx) / (ecc * d_r[d])) ** 2
             d_masks.append((ell <= 1.0) & (mask == 0))
-            img += contrast * d_masks[-1]
+            img += d_gain * d_masks[-1]
         # smooth intensity bias field (gain inhomogeneity)
         gy, gx, gq = rng.normal(0, 1.0, size=3)
         ny, nx = (yy / s - 0.5), (xx / s - 0.5)
-        img += 12.0 * (gy * ny + gx * nx + gq * (ny * nx) * 2.0)
+        img += bias_amp * (gy * ny + gx * nx + gq * (ny * nx) * 2.0)
         img += noise_sigma * rng.normal(size=(s, s))
         if geom_out is not None:
             geom_out["mask"] = mask
@@ -292,7 +367,8 @@ class SyntheticTask(Task):
             f"noisy_fraction={self.noisy_fraction},"
             f"clean_cases={self.clean_cases},"
             f"noise_shift_divisor={self.noise_shift_divisor},"
-            f"num_classes={self.num_classes}"
+            f"num_classes={self.num_classes},"
+            f"domain_split={self.domain_split}"
         )
 
     # ---- decode ----

@@ -47,7 +47,17 @@ STYLE = "ellipse"         # --style hard: star-convex shapes, low contrast,
 #              labels (the reference's limited-annotation CHAOS ladder:
 #              pretrain 0.756 -> pseudo-label naive 0.799 -> AIDE 0.871,
 #              examplesegmentationresults/, SURVEY §6).
+#   'transfer' — the cross-domain prostate protocol: the labeled budget is
+#              a fully-annotated SOURCE appearance domain, every other
+#              train case and the held-out test split render in a TARGET
+#              domain, and the source-pretrained model annotates the
+#              target (the Prostate_split2D_crossdomain CSV analogue,
+#              /root/reference/train_files/
+#              trainprostate_proposed_isbi3ttransferisbidx.py:241-546).
+#              Mechanically pseudo + domain_split; labeled source cases
+#              stay exempt from refresh (reference :513,525).
 PROTOCOL = "shift"
+DOMAIN_SPLIT = "a:b"      # --direction: source:target appearance domains
 # --two-modal: generate the complementary second acquisition and train the
 # reference's flagship FuseUNet family on it (SURVEY §6: the CHAOS ladder
 # is two-modal T1 in/out-phase + fuseunet)
@@ -76,7 +86,7 @@ def build_cfg(stage: str, workdir: str, epochs: int, resume: str = ""):
     cfg.data.rotation_degree = 45.0
     cfg.data.tempmask_folder = f"tempmasks_{stage}"
     cfg.num_epochs = epochs
-    if PROTOCOL == "pseudo":
+    if PROTOCOL in ("pseudo", "transfer"):
         # mirror the flagship trainchaos_proposed defaults: fresh dual nets
         # (resume stays empty — random init IS the co-teaching asymmetry),
         # lr 1e-4, consistency weight 10, 20 warmup epochs
@@ -109,14 +119,17 @@ def make_task(workdir: str, stage: str, num_cases: int):
         num_cases=num_cases,
         slices_per_case=SLICES_PER_CASE,
         size=IMG_SIZE,
-        # pseudo protocol: unlabeled cases start with GT that is then
-        # OVERWRITTEN by pretrain-model predictions (apply_pseudo_labels);
-        # no artificial corruption
-        noisy_fraction=0.0 if PROTOCOL == "pseudo" else NOISY_FRACTION,
+        # pseudo/transfer protocols: unlabeled cases start with GT that is
+        # then OVERWRITTEN by pretrain-model predictions
+        # (apply_pseudo_labels); no artificial corruption
+        noisy_fraction=(
+            0.0 if PROTOCOL in ("pseudo", "transfer") else NOISY_FRACTION
+        ),
         clean_cases=CLEAN_CASES,
         noise_shift_divisor=NOISE_SHIFT_DIVISOR,
         style=STYLE,
         seed=SEED,
+        domain_split=DOMAIN_SPLIT if PROTOCOL == "transfer" else "",
         test_case_offset=100,   # held-out anatomy, clean labels
         num_test_cases=8,
     )
@@ -180,6 +193,46 @@ def apply_pseudo_labels(trainer, pretrain_ckpt: str) -> None:
     )
 
 
+def eval_ckpt_on_domain(ckpt_path: str, workdir: str, domain: str) -> float:
+    """Held-out eval of a single-net checkpoint with the test anatomy
+    rendered in ``domain`` — reports the pretrain's WITHIN-source skill next
+    to its cross-domain number, quantifying the domain gap the way the
+    reference's singledomain-vs-transfer comparison configs do
+    (trainprostate_comparison_*singledomain vs *transfer*)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aide_tpu.data.pipeline import SlicePipeline
+    from aide_tpu.engine import checkpoint as ckpt_mod
+    from aide_tpu.engine import steps as steps_mod
+    from aide_tpu.engine.state import TrainState
+    from aide_tpu.evaluation.case_eval import evaluate_cases
+    from aide_tpu.models import build_model
+    from aide_tpu.ops.schedules import make_optimizer
+
+    cfg = build_cfg(f"domval_{domain}", workdir, 1)
+    task = make_task(workdir, f"domval_{domain}", CLEAN_CASES)
+    task.domain_split = f"{domain}:{domain}"  # test split renders `domain`
+    specs = task.load_manifest(train=False)
+    pipe = SlicePipeline(
+        task, specs, cfg.data.img_size, cfg.data.data_mean,
+        cfg.data.data_std, working_labels=False,
+    )
+    s = cfg.data.img_size
+    model = build_model(cfg.model)
+    dummy = (jnp.zeros((1, s, s, 3)),) * (2 if TWO_MODAL else 1)
+    template = model.init(jax.random.key(0), *dummy, train=False)
+    variables = ckpt_mod.load_net(ckpt_path, template)
+    state = TrainState.create(variables, make_optimizer(cfg.optim, 1, 1))
+    predict = steps_mod.make_predict_step(model, TWO_MODAL, dual=False)
+    results = evaluate_cases(
+        predict, state, pipe, list(pipe.cases),
+        cfg.data.eval_batch_size, dual=False,
+    )
+    return round(float(np.mean([r.dice for r in results[0]])), 4)
+
+
 def clean_gt(trainer) -> "np.ndarray":
     """Clean ground-truth masks for every train slice, whatever the
     protocol. Under pseudo, pipe.targets ARE the clean GT; under shift they
@@ -193,7 +246,7 @@ def clean_gt(trainer) -> "np.ndarray":
     if cached is not None:
         return cached
     pipe = trainer.train_pipe
-    if PROTOCOL == "pseudo":
+    if PROTOCOL in ("pseudo", "transfer"):
         gt = pipe.targets
     else:
         from aide_tpu.data.tasks.base import resize_mask
@@ -206,7 +259,7 @@ def clean_gt(trainer) -> "np.ndarray":
             noisy_fraction=0.0, clean_cases=t.clean_cases,
             noise_shift_divisor=t.noise_shift_divisor, style=t.style,
             seed=t.seed, test_case_offset=t.test_case_offset,
-            num_test_cases=t.num_test_cases,
+            num_test_cases=t.num_test_cases, domain_split=t.domain_split,
         )
         gt = np.zeros_like(pipe.targets)
         for i, spec in enumerate(pipe.specs):
@@ -253,7 +306,7 @@ def run(
     t0 = time.time()
     trainer = Trainer(cfg, task=task)
     trainer.label_cases = set(task.clean_case_ids())
-    if pseudo_from and PROTOCOL == "pseudo":
+    if pseudo_from and PROTOCOL in ("pseudo", "transfer"):
         apply_pseudo_labels(trainer, pseudo_from)
     if trainer.dual:
         # per-refresh label-quality oracle: the working labels must IMPROVE
@@ -305,7 +358,11 @@ def main() -> int:
     ap.add_argument("--workdir", default="/tmp/aide_synth_exp")
     ap.add_argument("--out", default="")
     ap.add_argument("--style", default="ellipse", choices=("ellipse", "hard", "xhard"))
-    ap.add_argument("--protocol", default="shift", choices=("shift", "pseudo"))
+    ap.add_argument("--protocol", default="shift",
+                    choices=("shift", "pseudo", "transfer"))
+    ap.add_argument("--direction", default="a:b",
+                    help="transfer protocol source:target appearance "
+                         "domains (a:b or b:a)")
     ap.add_argument("--num-cases", type=int, default=NUM_CASES)
     ap.add_argument("--slices-per-case", type=int, default=SLICES_PER_CASE)
     ap.add_argument("--model", default=MODEL)
@@ -328,6 +385,8 @@ def main() -> int:
 
     STYLE = args.style
     PROTOCOL = args.protocol
+    global DOMAIN_SPLIT
+    DOMAIN_SPLIT = args.direction
     IMG_SIZE = args.img_size
     NUM_CASES = args.num_cases
     SLICES_PER_CASE = args.slices_per_case
@@ -348,6 +407,21 @@ def main() -> int:
     results["pretrain"] = run("pretrain", args.workdir, args.pretrain_epochs)
     print(json.dumps(results["pretrain"]), flush=True)
 
+    if PROTOCOL == "transfer":
+        # the domain gap, quantified: the same checkpoint on held-out
+        # anatomy rendered in the SOURCE domain (its training distribution)
+        src = DOMAIN_SPLIT.split(":")[0]
+        results["pretrain"]["source_domain_dice"] = eval_ckpt_on_domain(
+            results["pretrain"]["checkpoint"], args.workdir, src
+        )
+        print(
+            json.dumps(
+                {"pretrain_source_domain_dice":
+                 results["pretrain"]["source_domain_dice"]}
+            ),
+            flush=True,
+        )
+
     results["naive"] = run(
         "naive", args.workdir, args.epochs,
         pseudo_from=results["pretrain"]["checkpoint"],
@@ -357,10 +431,15 @@ def main() -> int:
     results["aide"] = run(
         "aide", args.workdir, args.epochs,
         # shift regime: clean-anchored warm start (kidney protocol).
-        # pseudo regime: fresh dual nets like the CHAOS flagship — random
-        # init is the co-teaching asymmetry; warm-starting both nets from
-        # one checkpoint collapses into self-confirmation.
-        resume="" if PROTOCOL == "pseudo" else results["pretrain"]["checkpoint"],
+        # pseudo/transfer regimes: fresh dual nets like the CHAOS/prostate
+        # flagships — random init is the co-teaching asymmetry; warm-
+        # starting both nets from one checkpoint collapses into
+        # self-confirmation.
+        resume=(
+            ""
+            if PROTOCOL in ("pseudo", "transfer")
+            else results["pretrain"]["checkpoint"]
+        ),
         pseudo_from=results["pretrain"]["checkpoint"],
     )
     print(json.dumps(results["aide"]), flush=True)
@@ -368,18 +447,26 @@ def main() -> int:
     summary = {
         "style": STYLE,
         "protocol": PROTOCOL,
+        **({"direction": DOMAIN_SPLIT} if PROTOCOL == "transfer" else {}),
         "seed": SEED,
         "model": MODEL,
         "two_modal": TWO_MODAL,
         "slices_per_case": SLICES_PER_CASE,
-        # effective value: the pseudo protocol applies no corruption
-        "noisy_fraction": 0.0 if PROTOCOL == "pseudo" else NOISY_FRACTION,
+        # effective value: pseudo/transfer protocols apply no corruption
+        "noisy_fraction": (
+            0.0 if PROTOCOL in ("pseudo", "transfer") else NOISY_FRACTION
+        ),
         "noise_shift_divisor": NOISE_SHIFT_DIVISOR,
         "clean_cases": CLEAN_CASES,
         "num_cases": NUM_CASES,
         **({"ceiling_best_dice": results["ceiling"]["best_testcase_dice"]}
            if "ceiling" in results else {}),
         "img_size": IMG_SIZE,
+        **(
+            {"pretrain_source_dice":
+             results["pretrain"].get("source_domain_dice")}
+            if PROTOCOL == "transfer" else {}
+        ),
         "pretrain_best_dice": results["pretrain"]["best_testcase_dice"],
         "naive_best_dice": results["naive"]["best_testcase_dice"],
         "aide_best_dice": results["aide"]["best_testcase_dice"],
