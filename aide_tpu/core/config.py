@@ -87,6 +87,13 @@ class DataConfig:
     # The reference augments only the TTA copies; the main image gets
     # resize+normalize only (trainchaos_proposed_30cases1labeled.py:191-197).
     augment_main: bool = False
+    # TTA warp implementation: 'auto' (fused Pallas kernel on TPU, 3-shear
+    # XLA path on CPU), or an explicit 'pallas' | 'shear' | 'gather'. The
+    # trainer pins 'auto' to 'shear' when the mesh has an active 'space'
+    # axis: GSPMD partitions the shear rolls cleanly over the sharded H
+    # dim, while a Pallas custom call would force an all-gather of the
+    # spatially-sharded batch around it.
+    warp_method: str = "auto"
     # Keep the whole decode-once cache resident in device HBM and gather
     # batches on device by index (SlicePipeline.to_device). 'auto' (and
     # 'on') enable it on any mesh: single-device keeps one HBM copy,

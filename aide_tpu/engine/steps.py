@@ -147,6 +147,7 @@ def make_augment_batch(cfg: TrainConfig, two_modal: bool):
     one-hot maps with zero fill and argmax'd back (out-of-extent pixels
     resolve to background), so images and labels move together."""
     num_classes = cfg.model.num_classes
+    wm = cfg.data.warp_method
 
     @jax.jit
     def augment(batch, key):
@@ -160,12 +161,12 @@ def make_augment_batch(cfg: TrainConfig, two_modal: bool):
         out = dict(batch)
         names = ("modal1", "modal2") if two_modal else ("image",)
         for name, img, fill in zip(names, images, fills):
-            out[name] = warp.augment(img, deg, fl, fill)
+            out[name] = warp.augment(img, deg, fl, fill, method=wm)
         for tname in ("target", "target1", "target2"):
             if tname in batch:
                 t = batch[tname]
                 onehot = jax.nn.one_hot(t, num_classes, dtype=jnp.float32)
-                warped = warp.augment(onehot, deg, fl, 0.0)
+                warped = warp.augment(onehot, deg, fl, 0.0, method=wm)
                 out[tname] = jnp.argmax(warped, axis=-1).astype(t.dtype)
         return out
 
@@ -215,6 +216,7 @@ def make_coteach_train_step(model, two_modal: bool, cfg: TrainConfig):
     ct = cfg.coteach
     num_views = cfg.data.num_tta_views
     thr = cfg.eval.threshold
+    wm = cfg.data.warp_method
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: DualTrainState, batch, key, rate):
@@ -230,7 +232,7 @@ def make_coteach_train_step(model, two_modal: bool, cfg: TrainConfig):
             key, num_views, b, cfg.data.rotation_degree, cfg.data.hflip_prob
         )
         flat_views = tuple(
-            tta.make_views(img, degrees, hflip, fill).reshape(
+            tta.make_views(img, degrees, hflip, fill, method=wm).reshape(
                 (num_views * b,) + img.shape[1:]
             )
             for img, fill in zip(images, fills)
@@ -252,7 +254,7 @@ def make_coteach_train_step(model, two_modal: bool, cfg: TrainConfig):
         flat = view_logits.reshape((2 * num_views, b) + view_logits.shape[2:])
         deg2 = jnp.concatenate([degrees, degrees], axis=0)
         flip2 = jnp.concatenate([hflip, hflip], axis=0)
-        inv = tta.invert_views(flat, deg2, flip2)
+        inv = tta.invert_views(flat, deg2, flip2, method=wm)
         probs = jax.nn.softmax(inv.astype(jnp.float32), axis=-1)
         avg = jnp.mean(
             probs.reshape((2, num_views, b) + probs.shape[2:]), axis=1

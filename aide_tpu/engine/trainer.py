@@ -156,6 +156,26 @@ class Trainer:
                     "spatial partitioning disabled",
                     self.mesh.shape["space"], cfg.data.img_size,
                 )
+        if self._space_axis is not None:
+            # enforced routing (not a docs caveat): the Pallas TTA warp is a
+            # custom call GSPMD cannot partition — under a spatially-sharded
+            # batch the partitioner would all-gather the full (V*B,H,W,C)
+            # tensor around it. The 3-shear XLA formulation partitions
+            # cleanly (rolls over the sharded H lower to halo exchanges), so
+            # 'auto' pins to it whenever the space axis is live.
+            if cfg.data.warp_method == "auto":
+                cfg.data.warp_method = "shear"
+                self.logger.info(
+                    "space axis active: TTA warps routed to the 3-shear XLA "
+                    "path (a Pallas custom call would force an all-gather "
+                    "of the spatially-sharded batch)"
+                )
+            elif cfg.data.warp_method == "pallas":
+                self.logger.warning(
+                    "data.warp_method='pallas' with an active space axis: "
+                    "the partitioner will all-gather the batch around the "
+                    "kernel — expect degraded scaling; use 'auto'/'shear'"
+                )
         # device-resident dataset: gather batches on device by index so an
         # epoch ships only (B,) index arrays over the host->device link.
         # Multi-device meshes shard the cache over the data axis (MeshCache).

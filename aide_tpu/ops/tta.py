@@ -49,6 +49,7 @@ def make_views(
     degrees: jnp.ndarray,
     hflip: jnp.ndarray,
     fill: jnp.ndarray | float = 0.0,
+    method: str = "auto",
 ) -> jnp.ndarray:
     """(B,H,W,C) -> (V,B,H,W,C) augmented views via one batched warp."""
     v, b = degrees.shape
@@ -57,7 +58,9 @@ def make_views(
     fill_flat = fill
     if jnp.ndim(fill) == 2:  # (B, C) -> (V*B, C); dtype-agnostic (np or jnp)
         fill_flat = jnp.tile(jnp.asarray(fill), (v, 1))
-    out = warp.augment(flat, degrees.reshape(-1), hflip.reshape(-1), fill_flat)
+    out = warp.augment(
+        flat, degrees.reshape(-1), hflip.reshape(-1), fill_flat, method=method
+    )
     return out.reshape((v, b) + images.shape[1:])
 
 
@@ -65,13 +68,16 @@ def invert_views(
     view_logits: jnp.ndarray,
     degrees: jnp.ndarray,
     hflip: jnp.ndarray,
+    method: str = "auto",
 ) -> jnp.ndarray:
     """Invert augmentation on per-view logits (V,B,H,W,C), zero fill —
     matching reverseaug operating on raw logits before softmax
     (trainchaos_proposed_30cases1labeled.py:268-272)."""
     v, b = degrees.shape
     flat = view_logits.reshape((v * b,) + view_logits.shape[2:])
-    out = warp.invert(flat, degrees.reshape(-1), hflip.reshape(-1), 0.0)
+    out = warp.invert(
+        flat, degrees.reshape(-1), hflip.reshape(-1), 0.0, method=method
+    )
     return out.reshape(view_logits.shape)
 
 
@@ -115,6 +121,7 @@ def ensemble_pseudo_labels(
     hflip: jnp.ndarray,
     temperature: float,
     sharpen_mode: str = "pow_t",
+    method: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full TTA ensemble: invert views, average softmax, sharpen, weightmap.
 
@@ -123,7 +130,7 @@ def ensemble_pseudo_labels(
     Returns:
       pseudo (B, H, W, C) sharpened probabilities and weightmap (B, H, W, 1).
     """
-    inv = invert_views(view_logits, degrees, hflip)
+    inv = invert_views(view_logits, degrees, hflip, method=method)
     probs = jax.nn.softmax(inv.astype(jnp.float32), axis=-1)
     avg = jnp.mean(probs, axis=0)
     pseudo = sharpen(avg, temperature, sharpen_mode)

@@ -241,3 +241,99 @@ def test_trainer_epoch_with_net_space_axes_matches_single_device(tmp_path):
         b = np.asarray(tr.train_pipe.labels.get(net))
         frac = float(np.mean(a != b))
         assert frac < 0.02, (net, frac)
+
+
+def test_shear_warp_partitions_under_space_axis():
+    """The 3-shear warp under a spatially-sharded batch: values equal the
+    unsharded warp with the output FORCED to stay H-sharded over `space`
+    (proving the formulation partitions instead of gathering). This is the
+    path the trainer routes to whenever the space axis is live — the Pallas
+    kernel is a custom call GSPMD would all-gather around."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh (conftest env)")
+    from aide_tpu.ops import warp
+
+    rng = np.random.default_rng(5)
+    b, h = 8, 32
+    imgs = rng.normal(size=(b, h, h, 3)).astype(np.float32)
+    degrees = rng.uniform(-60, 60, b).astype(np.float32)
+    hflip = (rng.random(b) > 0.5).astype(np.float32)
+    fill = rng.normal(size=(b, 3)).astype(np.float32)
+
+    ref = np.asarray(
+        warp.augment(jnp.asarray(imgs), jnp.asarray(degrees),
+                     jnp.asarray(hflip), jnp.asarray(fill), method="shear")
+    )
+
+    mesh = Mesh(
+        np.asarray(jax.devices()[:8]).reshape(4, 2), ("data", "space")
+    )
+    bsh = NamedSharding(mesh, P("data", "space"))
+    rsh = NamedSharding(mesh, P("data"))
+    fn = jax.jit(
+        lambda im, d, f, fi: warp.augment(im, d, f, fi, method="shear"),
+        in_shardings=(bsh, rsh, rsh, rsh),
+        out_shardings=bsh,   # output must be expressible H-sharded
+    )
+    out = fn(
+        jax.device_put(imgs, bsh), jax.device_put(degrees, rsh),
+        jax.device_put(hflip, rsh), jax.device_put(fill, rsh),
+    )
+    assert out.sharding.spec == P("data", "space")
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-5)
+
+    # inverse path too (the TTA epilogue)
+    ref_inv = np.asarray(
+        warp.invert(jnp.asarray(imgs), jnp.asarray(degrees),
+                    jnp.asarray(hflip), 0.0, method="shear")
+    )
+    fn_inv = jax.jit(
+        lambda im, d, f: warp.invert(im, d, f, 0.0, method="shear"),
+        in_shardings=(bsh, rsh, rsh),
+        out_shardings=bsh,
+    )
+    out_inv = fn_inv(
+        jax.device_put(imgs, bsh), jax.device_put(degrees, rsh),
+        jax.device_put(hflip, rsh),
+    )
+    np.testing.assert_allclose(np.asarray(out_inv), ref_inv, atol=1e-5,
+                               rtol=1e-5)
+
+
+def test_trainer_pins_shear_warp_when_space_axis_live(tmp_path):
+    """ROADMAP's 'Pallas kernel vs space sharding' caveat is enforced
+    behavior: with an active space axis the trainer rewrites
+    data.warp_method 'auto' -> 'shear' (and logs it); an explicit 'pallas'
+    survives with a warning."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh (conftest env)")
+    from aide_tpu.data.tasks.synthetic import SyntheticTask
+    from aide_tpu.engine.trainer import Trainer
+
+    def build(sub, warp_method):
+        cfg = TrainConfig()
+        cfg.model = ModelConfig(
+            name="unet2", compute_dtype="float32", norm="batch"
+        )
+        cfg.data.task = "synthetic"
+        cfg.data.variant = "proposed"
+        cfg.data.img_size = 16
+        cfg.data.batch_size = 4
+        cfg.data.eval_batch_size = 4
+        cfg.data.warp_method = warp_method
+        cfg.mesh.extra_axes = (("space", 2),)
+        cfg.checkpoint_dir = str(tmp_path / sub / "ckpt")
+        cfg.history_dir = str(tmp_path / sub / "hist")
+        task = SyntheticTask(
+            root=str(tmp_path / sub / "synth"),
+            tempmask_folder="tempmasks",
+            num_cases=2, slices_per_case=2, size=16, seed=3,
+        )
+        return Trainer(cfg, task=task)
+
+    tr = build("auto", "auto")
+    assert tr._space_axis == "space"
+    assert tr.cfg.data.warp_method == "shear"
+
+    tr2 = build("pallas", "pallas")
+    assert tr2.cfg.data.warp_method == "pallas"  # explicit opt-in respected
