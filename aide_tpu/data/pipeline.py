@@ -104,14 +104,31 @@ class MeshCache:
     The arrays live batch-sharded (leading/data axis, rows padded to a
     multiple of the mesh size). A batch gather for arbitrary shuffled
     indices is an explicit shard_map program — each device serves the rows
-    that live in its shard, zero elsewhere, and a ``psum`` over the data
-    axis assembles the batch (one small all-reduce of batch-sized tensors
-    riding ICI; the dataset itself never moves). The result comes back
-    batch-sharded when the batch divides the mesh, replicated otherwise
-    (ragged final eval batches). Explicit shard_map instead of GSPMD
-    inference keeps XLA from ever choosing an all-gather of the full
-    dataset for the gather op. Label refresh rows scatter into the shard
-    that owns them (out-of-shard updates dropped)."""
+    that live in its shard, zero elsewhere, and one collective over the
+    data axis assembles the batch (the dataset itself never moves). The
+    result comes back batch-sharded when the batch divides the mesh
+    (``psum_scatter``: each device receives exactly its output slice),
+    replicated otherwise (``psum``; ragged final eval batches need the full
+    batch everywhere). Explicit shard_map instead of GSPMD inference keeps
+    XLA from ever choosing an all-gather of the full dataset for the gather
+    op. Label refresh rows scatter into the shard that owns them
+    (out-of-shard updates dropped).
+
+    Traffic model (ring collectives over ICI, S = batch bytes, n = data-axis
+    size): the sharded-out gather reduce-scatters S — each device sends
+    S*(n-1)/n per step — where the previous psum+slice formulation
+    all-reduced it (2x that). A zero-skipping all-to-all would not beat
+    this: with shuffled indices the per-(src,dst) row count is data-
+    dependent, so static shapes force worst-case B/n-row pads per pair —
+    the same S*(n-1)/n on the wire. At the CHAOS operating point (two
+    uint8 256x256x3 modalities + two uint8 targets + f32 norm stats
+    ~ 0.50 MiB/row) one bs-8 train gather moves S ~ 4.0 MiB: 2.0/3.0/
+    3.5 MiB sent per device per step at n=2/4/8 (vs 4.0/6.0/7.0 psum), and
+    a bs-32 images-only eval gather S ~ 12 MiB: 6/9/10.5 MiB (vs 12/18/21).
+    At ~100 GB/s/link ICI that is well under a millisecond — the gather
+    stays latency-, not bandwidth-, bound at this batch size; measured
+    equal-values on the virtual mesh (tests/test_multidevice_epoch.py,
+    tests/test_meshcache_traffic.py pins the collective choice)."""
 
     def __init__(self, mesh, data_axis: str, n_rows: int,
                  space_axis: Optional[str] = None):
@@ -194,12 +211,15 @@ class MeshCache:
                 part = jnp.take(v, rel, axis=0)
                 m = mask.reshape((-1,) + (1,) * (part.ndim - 1))
                 part = jnp.where(m, part, jnp.zeros_like(part))
-                full = jax.lax.psum(part, axis)
                 if sharded_out:
-                    b_local = idx.shape[0] // n_dev
-                    full = jax.lax.dynamic_slice_in_dim(
-                        full, d * b_local, b_local, axis=0
+                    # each device needs only ITS slice of the assembled
+                    # batch: reduce-scatter moves half the bytes of the
+                    # psum+slice formulation (see class docstring)
+                    full = jax.lax.psum_scatter(
+                        part, axis, scatter_dimension=0, tiled=True
                     )
+                else:
+                    full = jax.lax.psum(part, axis)
                 if spatial_leaf:
                     s = jax.lax.axis_index(space)
                     h_local = full.shape[1] // n_space
