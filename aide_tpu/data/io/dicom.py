@@ -27,6 +27,7 @@ _TAGS = {
     (0x0028, 0x0101): "BitsStored",
     (0x0028, 0x0103): "PixelRepresentation",
     (0x0028, 0x0002): "SamplesPerPixel",
+    (0x0028, 0x0008): "NumberOfFrames",
     (0x0028, 0x0030): "PixelSpacing",
     (0x0028, 0x1052): "RescaleIntercept",
     (0x0028, 0x1053): "RescaleSlope",
@@ -85,6 +86,13 @@ class DicomFile:
             # RGB/multi-sample data would silently decode as the interleaved
             # top slice of the image — refuse like the other unsupported cases
             raise ValueError(f"unsupported SamplesPerPixel={spp} (expect 1)")
+        frames = int(self.tags.get("NumberOfFrames", 1) or 1)
+        if frames != 1:
+            # a multi-frame file would otherwise silently decode as its
+            # first frame; the CHAOS/task datasets are single-frame slices
+            raise ValueError(
+                f"unsupported NumberOfFrames={frames} (expect single-frame)"
+            )
         bits = int(self.tags.get("BitsAllocated", 16))
         signed = int(self.tags.get("PixelRepresentation", 0)) == 1
         if bits == 16:
@@ -113,7 +121,9 @@ class DicomFile:
 
 def _decode_value(vr: bytes, raw: bytes):
     if vr in (b"US",):
-        return struct.unpack("<" + "H" * (len(raw) // 2), raw)[0] if len(raw) >= 2 else None
+        # only the first value matters for our tags; slicing also keeps a
+        # fuzzed odd-length element from tripping struct's exact-size check
+        return struct.unpack("<H", raw[:2])[0] if len(raw) >= 2 else None
     if vr in (b"SS",):
         return struct.unpack("<h", raw[:2])[0] if len(raw) >= 2 else None
     if vr in (b"UL",):
@@ -157,6 +167,8 @@ def read_dicom(path: str) -> DicomFile:
         if explicit or group == 0x0002:
             vr = data[i + 4 : i + 6]
             if vr in _EXPLICIT_LONG_VRS:
+                if i + 12 > n:
+                    raise ValueError(f"{path}: truncated DICOM element header")
                 length = struct.unpack("<I", data[i + 8 : i + 12])[0]
                 hdr = 12
             else:
@@ -169,6 +181,13 @@ def read_dicom(path: str) -> DicomFile:
 
         if length == 0xFFFFFFFF:
             raise ValueError(f"{path}: undefined-length element (encapsulated?)")
+        if i + hdr + length > n:
+            # a short read would silently hand back a partial value (for
+            # PixelData: a partial image)
+            raise ValueError(
+                f"{path}: truncated DICOM element "
+                f"({group:04x},{elem:04x}) (need {length} bytes)"
+            )
 
         value = data[i + hdr : i + hdr + length]
         if (group, elem) == (0x7FE0, 0x0010):

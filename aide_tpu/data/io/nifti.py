@@ -35,7 +35,13 @@ def _open_bytes(path: str) -> bytes:
     with open(path, "rb") as fh:
         data = fh.read()
     if data[:2] == b"\x1f\x8b":
-        data = gzip.decompress(data)
+        try:
+            data = gzip.decompress(data)
+        except (OSError, EOFError) as e:
+            # mid-stream truncation raises EOFError, corrupt blocks OSError;
+            # normalize to the reader contract (clean ValueError, never a
+            # partial decode)
+            raise ValueError(f"{path}: corrupt/truncated gzip stream: {e}")
     return data
 
 
@@ -59,17 +65,34 @@ def read_nifti(path: str) -> np.ndarray:
 
     dim = struct.unpack(end + "8h", data[40:56])
     ndim = dim[0]
-    shape_xyz = tuple(int(d) for d in dim[1 : 1 + max(1, ndim)])
+    if not 1 <= ndim <= 7:
+        raise ValueError(f"{path}: invalid NIfTI dim[0]={ndim} (want 1..7)")
+    shape_xyz = tuple(int(d) for d in dim[1 : 1 + ndim])
+    if any(d < 1 for d in shape_xyz):
+        # negative/zero extents would flow into a negative frombuffer count
+        # (-1 reads EVERYTHING) — silent garbage, not an error
+        raise ValueError(f"{path}: invalid NIfTI dims {shape_xyz}")
     datatype = struct.unpack(end + "h", data[70:72])[0]
     if datatype not in _DTYPES:
         raise ValueError(f"{path}: unsupported NIfTI datatype {datatype}")
-    vox_offset = int(struct.unpack(end + "f", data[108:112])[0])
+    vox_offset_f = struct.unpack(end + "f", data[108:112])[0]
+    if not np.isfinite(vox_offset_f) or (0.0 < vox_offset_f < 348.0):
+        # junk offsets pointing INTO the header would silently decode header
+        # bytes as voxels
+        raise ValueError(f"{path}: invalid vox_offset {vox_offset_f}")
+    vox_offset = int(vox_offset_f)
     scl_slope = struct.unpack(end + "f", data[112:116])[0]
     scl_inter = struct.unpack(end + "f", data[116:120])[0]
 
     dt = np.dtype(_DTYPES[datatype]).newbyteorder(end)
     count = int(np.prod(shape_xyz))
-    arr = np.frombuffer(data, dtype=dt, count=count, offset=vox_offset or 352)
+    offset = vox_offset or 352
+    if offset + count * dt.itemsize > len(data):
+        raise ValueError(
+            f"{path}: truncated NIfTI payload (need {count * dt.itemsize} "
+            f"bytes at offset {offset}, file holds {len(data)})"
+        )
+    arr = np.frombuffer(data, dtype=dt, count=count, offset=offset)
     # NIfTI data is x-fastest; reshape Fortran-style then reverse to (z,y,x)
     arr = arr.reshape(shape_xyz, order="F")
     arr = np.transpose(arr, tuple(range(arr.ndim))[::-1])

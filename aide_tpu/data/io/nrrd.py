@@ -55,8 +55,23 @@ def read_nrrd(path: str) -> Tuple[np.ndarray, Dict[str, str]]:
         for sep in (b": ", b":=", b":"):
             if sep in line:
                 key, val = line.split(sep, 1)
-                header[key.decode().strip().lower()] = val.decode().strip()
+                header[key.decode().strip().lower()] = (
+                    val.decode(errors="replace").strip()
+                )
                 break
+
+    # fields this attached-data parser cannot honor silently: a detached
+    # data file means the blob after the header is NOT the voxels, and a
+    # line skip shifts where the data starts — decoding anyway would return
+    # garbage that trains downstream
+    for k in ("data file", "datafile"):
+        if k in header:
+            raise ValueError(
+                f"{path}: detached-data NRRD (data file: {header[k]!r}) "
+                "is not supported — use attached-data .nrrd"
+            )
+    if int(header.get("line skip", header.get("lineskip", 0)) or 0) != 0:
+        raise ValueError(f"{path}: nonzero NRRD line skip is not supported")
 
     typ = header.get("type", "float")
     if typ not in _TYPE_MAP:
@@ -65,17 +80,44 @@ def read_nrrd(path: str) -> Tuple[np.ndarray, Dict[str, str]]:
     endian = header.get("endian", "little")
     dtype = dtype.newbyteorder("<" if endian == "little" else ">")
 
+    if "sizes" not in header:
+        raise ValueError(f"{path}: NRRD header missing 'sizes'")
     sizes = [int(s) for s in header["sizes"].split()]
+    if not sizes or any(s < 1 for s in sizes):
+        raise ValueError(f"{path}: invalid NRRD sizes {sizes}")
     encoding = header.get("encoding", "raw").lower()
     payload = blob[i:]
-    if encoding in ("gzip", "gz"):
-        payload = gzip.decompress(payload)
-    elif encoding in ("zlib",):
-        payload = zlib.decompress(payload)
-    elif encoding not in ("raw",):
-        raise ValueError(f"{path}: unsupported NRRD encoding {encoding!r}")
-
+    # byte skip applies to the data segment before decoding; -1 means "the
+    # payload is the LAST count*itemsize bytes" (raw only, per the spec)
     count = int(np.prod(sizes))
+    byteskip = int(header.get("byte skip", header.get("byteskip", 0)) or 0)
+    if byteskip == -1:
+        if encoding != "raw":
+            raise ValueError(
+                f"{path}: byte skip -1 is only defined for raw encoding"
+            )
+        payload = payload[len(payload) - count * dtype.itemsize:]
+    elif byteskip > 0:
+        payload = payload[byteskip:]
+    elif byteskip < 0:
+        raise ValueError(f"{path}: invalid NRRD byte skip {byteskip}")
+    try:
+        if encoding in ("gzip", "gz"):
+            payload = gzip.decompress(payload)
+        elif encoding in ("zlib",):
+            payload = zlib.decompress(payload)
+        elif encoding not in ("raw",):
+            raise ValueError(
+                f"{path}: unsupported NRRD encoding {encoding!r}"
+            )
+    except (OSError, EOFError, zlib.error) as e:
+        raise ValueError(f"{path}: corrupt/truncated {encoding} payload: {e}")
+
+    if len(payload) < count * dtype.itemsize:
+        raise ValueError(
+            f"{path}: truncated NRRD payload (need "
+            f"{count * dtype.itemsize} bytes, have {len(payload)})"
+        )
     arr = np.frombuffer(payload, dtype=dtype, count=count)
     # NRRD sizes are fastest-axis-first (x, y, z) -> reshape F, return (z,y,x)
     arr = arr.reshape(sizes, order="F")

@@ -247,3 +247,272 @@ class TestDicomImplicitVR:
         assert d.pixel_spacing == (1.5, 1.5)
         # string VRs (DS) still decode via the fallback
         assert d.rescaled_array[0, 1] == pytest.approx(2.0 * 7 - 1.0)
+
+
+# ------------------- adversarial-header sweep (VERDICT r3 #6) -------------------
+
+
+class TestNiftiAdversarial:
+    """Malformed/vendor-quirk headers must raise clean ValueErrors or decode
+    correctly — never silently hand garbage to the working-label pipeline."""
+
+    def test_vox_offset_into_header_rejected(self, tmp_path):
+        blob = bytearray(_nifti_bytes(3, 2, 4))
+        struct.pack_into("<f", blob, 108, 100.0)  # points INTO the header
+        p = tmp_path / "junkoff.nii"
+        p.write_bytes(bytes(blob))
+        with pytest.raises(ValueError, match="vox_offset"):
+            read_nifti(str(p))
+
+    def test_nan_vox_offset_rejected(self, tmp_path):
+        blob = bytearray(_nifti_bytes(3, 2, 4))
+        struct.pack_into("<f", blob, 108, float("nan"))
+        p = tmp_path / "nanoff.nii"
+        p.write_bytes(bytes(blob))
+        with pytest.raises(ValueError, match="vox_offset"):
+            read_nifti(str(p))
+
+    @pytest.mark.parametrize("dim0,dims", [(0, None), (8, None),
+                                           (3, (3, -2, 4)), (3, (0, 2, 4))])
+    def test_bad_dims_rejected(self, tmp_path, dim0, dims):
+        blob = bytearray(_nifti_bytes(3, 2, 4))
+        d = [dim0] + list(dims or (3, 2, 4)) + [1, 1, 1, 1]
+        struct.pack_into("<8h", blob, 40, *d)
+        p = tmp_path / "baddim.nii"
+        p.write_bytes(bytes(blob))
+        with pytest.raises(ValueError, match="dim"):
+            read_nifti(str(p))
+
+    def test_payload_shorter_than_dims_rejected(self, tmp_path):
+        blob = _nifti_bytes(3, 2, 4)
+        p = tmp_path / "short.nii"
+        p.write_bytes(blob[:-10])
+        with pytest.raises(ValueError, match="truncated"):
+            read_nifti(str(p))
+
+    def test_midstream_gzip_truncation_rejected(self, tmp_path):
+        import gzip as _gz
+
+        whole = _gz.compress(_nifti_bytes(3, 2, 4))
+        p = tmp_path / "cut.nii.gz"
+        p.write_bytes(whole[: len(whole) // 2])
+        with pytest.raises(ValueError, match="gzip"):
+            read_nifti(str(p))
+
+    def test_orientation_codes_ignored_like_simpleitk(self, tmp_path):
+        """The reference reads volumes via GetArrayFromImage — INDEX order,
+        no reorientation. Non-axial qform/sform metadata must not change
+        (or crash) the decode."""
+        base = read_nifti_bytes = _nifti_bytes(3, 2, 4)
+        blob = bytearray(read_nifti_bytes)
+        struct.pack_into("<h", blob, 252, 1)   # qform_code
+        struct.pack_into("<h", blob, 254, 2)   # sform_code
+        struct.pack_into("<6f", blob, 256, 0.7, 0.1, -0.7, 12.0, -30.0, 4.4)
+        # srow_x/y/z: an oblique direction matrix
+        struct.pack_into("<12f", blob, 280,
+                         0.0, -1.0, 0.0, 10.0,
+                         0.9, 0.0, 0.44, -5.0,
+                         0.0, 0.0, -1.0, 2.0)
+        pa = tmp_path / "plain.nii"
+        pb = tmp_path / "oblique.nii"
+        pa.write_bytes(base)
+        pb.write_bytes(bytes(blob))
+        np.testing.assert_array_equal(read_nifti(str(pa)), read_nifti(str(pb)))
+
+    def test_byte_fuzz_never_escapes_valueerror(self, tmp_path):
+        """Seeded single/multi-byte mutations over the whole file: the
+        reader either decodes (shape-checked) or raises ValueError — no
+        other exception type, no silent wrong-shape array."""
+        base = _nifti_bytes(3, 2, 4)
+        rng = np.random.default_rng(1234)
+        p = tmp_path / "fuzz.nii"
+        for trial in range(300):
+            blob = bytearray(base)
+            for _ in range(int(rng.integers(1, 4))):
+                pos = int(rng.integers(0, len(blob)))
+                blob[pos] = int(rng.integers(0, 256))
+            p.write_bytes(bytes(blob))
+            try:
+                arr = read_nifti(str(p))
+            except ValueError:
+                continue
+            assert arr.ndim >= 1 and arr.size > 0
+
+
+class TestNrrdAdversarial:
+    def _hdr(self, lines):
+        return ("\n".join(lines) + "\n\n").encode()
+
+    def test_detached_data_file_rejected(self, tmp_path):
+        hdr = self._hdr([
+            "NRRD0004", "type: short", "dimension: 3", "sizes: 3 2 4",
+            "encoding: raw", "data file: ./volume.raw",
+        ])
+        p = tmp_path / "det.nrrd"
+        p.write_bytes(hdr)
+        with pytest.raises(ValueError, match="detached"):
+            read_nrrd(str(p))
+
+    def test_line_skip_rejected(self, tmp_path):
+        hdr = self._hdr([
+            "NRRD0004", "type: uchar", "dimension: 3", "sizes: 3 2 4",
+            "encoding: raw", "line skip: 2",
+        ])
+        p = tmp_path / "ls.nrrd"
+        p.write_bytes(hdr + _xyz_payload(3, 2, 4, np.uint8))
+        with pytest.raises(ValueError, match="line skip"):
+            read_nrrd(str(p))
+
+    def test_byte_skip_honored(self, tmp_path):
+        hdr = self._hdr([
+            "NRRD0004", "type: uchar", "dimension: 3", "sizes: 3 2 4",
+            "encoding: raw", "byte skip: 5",
+        ])
+        p = tmp_path / "bs.nrrd"
+        p.write_bytes(hdr + b"JUNK!" + _xyz_payload(3, 2, 4, np.uint8))
+        arr, _ = read_nrrd(str(p))
+        assert arr[1, 1, 1] == _value(1, 1, 1)
+
+    def test_byte_skip_minus_one_reads_tail(self, tmp_path):
+        hdr = self._hdr([
+            "NRRD0004", "type: uchar", "dimension: 3", "sizes: 3 2 4",
+            "encoding: raw", "byte skip: -1",
+        ])
+        p = tmp_path / "bsm1.nrrd"
+        p.write_bytes(hdr + b"\x00" * 17 + _xyz_payload(3, 2, 4, np.uint8))
+        arr, _ = read_nrrd(str(p))
+        assert arr[3, 1, 2] == _value(2, 1, 3)
+
+    def test_byte_skip_before_gzip(self, tmp_path):
+        import gzip as _gz
+
+        hdr = self._hdr([
+            "NRRD0004", "type: uchar", "dimension: 3", "sizes: 3 2 4",
+            "encoding: gzip", "byte skip: 3",
+        ])
+        p = tmp_path / "bsgz.nrrd"
+        p.write_bytes(hdr + b"xyz" + _gz.compress(_xyz_payload(3, 2, 4, np.uint8)))
+        arr, _ = read_nrrd(str(p))
+        assert arr[0, 1, 2] == _value(2, 1, 0)
+
+    def test_missing_sizes_rejected(self, tmp_path):
+        hdr = self._hdr(["NRRD0004", "type: uchar", "encoding: raw"])
+        p = tmp_path / "nosizes.nrrd"
+        p.write_bytes(hdr + b"\x00" * 24)
+        with pytest.raises(ValueError, match="sizes"):
+            read_nrrd(str(p))
+
+    def test_nonpositive_sizes_rejected(self, tmp_path):
+        hdr = self._hdr([
+            "NRRD0004", "type: uchar", "dimension: 3",
+            "sizes: 3 -2 4", "encoding: raw",
+        ])
+        p = tmp_path / "negsz.nrrd"
+        p.write_bytes(hdr + b"\x00" * 24)
+        with pytest.raises(ValueError, match="sizes"):
+            read_nrrd(str(p))
+
+    def test_block_type_rejected(self, tmp_path):
+        hdr = self._hdr([
+            "NRRD0004", "type: block", "block size: 12",
+            "dimension: 3", "sizes: 3 2 4", "encoding: raw",
+        ])
+        p = tmp_path / "blk.nrrd"
+        p.write_bytes(hdr + b"\x00" * 288)
+        with pytest.raises(ValueError, match="type"):
+            read_nrrd(str(p))
+
+    def test_midstream_gzip_truncation_rejected(self, tmp_path):
+        import gzip as _gz
+
+        hdr = self._hdr([
+            "NRRD0004", "type: short", "dimension: 3", "sizes: 3 2 4",
+            "encoding: gzip",
+        ])
+        gz = _gz.compress(_xyz_payload(3, 2, 4, np.int16))
+        p = tmp_path / "cutgz.nrrd"
+        p.write_bytes(hdr + gz[: len(gz) // 2])
+        with pytest.raises(ValueError, match="gzip"):
+            read_nrrd(str(p))
+
+    def test_short_raw_payload_rejected(self, tmp_path):
+        hdr = self._hdr([
+            "NRRD0004", "type: short", "dimension: 3", "sizes: 3 2 4",
+            "encoding: raw",
+        ])
+        p = tmp_path / "shortraw.nrrd"
+        p.write_bytes(hdr + _xyz_payload(3, 2, 4, np.int16)[:-6])
+        with pytest.raises(ValueError, match="truncated"):
+            read_nrrd(str(p))
+
+    def test_byte_fuzz_never_escapes_valueerror(self, tmp_path):
+        hdr = self._hdr([
+            "NRRD0004", "type: short", "dimension: 3", "sizes: 3 2 4",
+            "endian: little", "encoding: raw",
+        ])
+        base = hdr + _xyz_payload(3, 2, 4, np.int16)
+        rng = np.random.default_rng(99)
+        p = tmp_path / "fuzz.nrrd"
+        for trial in range(300):
+            blob = bytearray(base)
+            for _ in range(int(rng.integers(1, 4))):
+                pos = int(rng.integers(0, len(blob)))
+                blob[pos] = int(rng.integers(0, 256))
+            p.write_bytes(bytes(blob))
+            try:
+                arr, _ = read_nrrd(str(p))
+            except ValueError:
+                continue
+            assert arr.size > 0
+
+
+class TestDicomAdversarial:
+    def test_multiframe_rejected(self, tmp_path):
+        from aide_tpu.data.io.dicom import read_dicom
+
+        ts = b"1.2.840.10008.1.2\x00"
+        meta = _dicom_element_explicit(0x0002, 0x0010, b"UI", ts)
+        pixels = np.arange(24, dtype=np.uint16)
+        body = b"".join([
+            _dicom_element_implicit(0x0028, 0x0010, struct.pack("<H", 4)),
+            _dicom_element_implicit(0x0028, 0x0011, struct.pack("<H", 3)),
+            _dicom_element_implicit(0x0028, 0x0100, struct.pack("<H", 16)),
+            _dicom_element_implicit(0x0028, 0x0103, struct.pack("<H", 0)),
+            _dicom_element_implicit(0x0028, 0x0008, b"2 "),  # NumberOfFrames
+            _dicom_element_implicit(0x7FE0, 0x0010, pixels.tobytes()),
+        ])
+        p = tmp_path / "mf.dcm"
+        p.write_bytes(b"\x00" * 128 + b"DICM" + meta + body)
+        with pytest.raises(ValueError, match="NumberOfFrames"):
+            read_dicom(str(p)).pixel_array  # noqa: B018
+
+    def test_truncated_element_rejected(self, tmp_path):
+        from aide_tpu.data.io.dicom import read_dicom
+
+        blob, _ = _implicit_vr_dicom()
+        p = tmp_path / "cut.dcm"
+        p.write_bytes(blob[:-7])   # cut into the PixelData value
+        with pytest.raises(ValueError, match="truncated"):
+            read_dicom(str(p))
+
+    def test_byte_fuzz_never_hangs_or_escapes(self, tmp_path):
+        """Mutated DICOMs must fail with a clean parse/shape error (or
+        decode) — specifically never struct.error, UnicodeDecodeError, or an
+        unbounded loop."""
+        from aide_tpu.data.io.dicom import read_dicom
+
+        base, _ = _implicit_vr_dicom()
+        rng = np.random.default_rng(4321)
+        p = tmp_path / "fuzz.dcm"
+        for trial in range(300):
+            blob = bytearray(base)
+            for _ in range(int(rng.integers(1, 4))):
+                pos = int(rng.integers(0, len(blob)))
+                blob[pos] = int(rng.integers(0, 256))
+            p.write_bytes(bytes(blob))
+            try:
+                d = read_dicom(str(p))
+                arr = d.pixel_array
+            except (ValueError, KeyError, TypeError):
+                continue
+            assert arr.shape == (d.rows, d.columns)
