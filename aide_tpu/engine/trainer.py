@@ -377,9 +377,10 @@ class Trainer:
         for net_idx in range(2):
             results = traincase_results[net_idx]
             order = np.argsort([r.dice for r in results])
-            refreshed = []
+            selected, refreshed = [], []
             for sel in order[:k]:
                 r = results[sel]
+                selected.append(r.case_id)
                 if r.case_id in self.label_cases:
                     continue  # labeled cases are never rewritten (:535)
                 vol = r.pred_volume
@@ -390,9 +391,18 @@ class Trainer:
                     net_idx + 1, idxs, vol, mirror=is_primary()
                 )
                 refreshed.append(r.case_id)
+            # log the FULL worst-k selection, like the reference
+            # (trainchaos_proposed_30cases1labeled.py:552,576 prints the
+            # selection including labeled/skipped cases); the actually-
+            # rewritten subset follows when it differs
             self.logger.info(
-                "Mask {} modify for net{}".format(refreshed, net_idx + 1)
+                "Mask {} modify for net{}".format(selected, net_idx + 1)
             )
+            if refreshed != selected:
+                self.logger.info(
+                    "  (rewritten for net{}: {} — labeled/empty cases "
+                    "skipped)".format(net_idx + 1, refreshed)
+                )
         # refreshed labels live on host; mirror them back into device HBM
         self.train_pipe.sync_labels_to_device()
         if self.on_refresh is not None:
