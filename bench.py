@@ -159,7 +159,7 @@ def time_bare_steps(trainer, cfg, iters=16):
     dt = (time.perf_counter() - t0) / iters
     trainer.state = state
 
-    # FLOPs: in-process cache hit (the step is already compiled)
+    # executed FLOPs: in-process cache hit (the step is already compiled)
     try:
         an = (
             trainer.train_step.lower(state, *step_args(0))
@@ -171,7 +171,41 @@ def time_bare_steps(trainer, cfg, iters=16):
         flops = float(an.get("flops", 0.0))
     except Exception:  # noqa: BLE001
         flops = 0.0
-    return dt, flops
+
+    # model FLOPs: the algorithmic work of the PLAIN (unpacked) network.
+    # The packed space-to-depth convs execute structural zeros, so the
+    # compiled analysis above overstates useful work; honest MFU divides by
+    # what the plain model would compute. Lowering (no compile — a remote
+    # compile costs minutes) the unpacked twin of the same step gives the
+    # frontend HLO flop count; convs/dots dominate and their frontend count
+    # equals the algorithmic one.
+    model_flops = flops
+    if cfg.model.packed:
+        try:
+            import dataclasses
+
+            from aide_tpu.engine import steps as steps_mod
+            from aide_tpu.models import build_model
+
+            plain_cfg = dataclasses.replace(cfg)
+            plain_cfg.model = dataclasses.replace(cfg.model, packed=False)
+            plain_model = build_model(plain_cfg.model)
+            if trainer.dual:
+                plain_step = steps_mod.make_coteach_train_step(
+                    plain_model, trainer.two_modal, plain_cfg
+                )
+            else:
+                plain_step = steps_mod.make_supervised_train_step(
+                    plain_model, trainer.two_modal, plain_cfg
+                )
+            pan = plain_step.lower(state, *step_args(0)).cost_analysis()
+            if isinstance(pan, list):
+                pan = pan[0]
+            model_flops = float(pan.get("flops", 0.0)) or flops
+        except Exception as e:  # noqa: BLE001
+            log(f"plain-model flops analysis failed ({e}); "
+                "falling back to executed flops")
+    return dt, flops, model_flops
 
 
 def main() -> int:
@@ -245,17 +279,23 @@ def main() -> int:
     trainer.run_epoch(0)
     log("warmup done; timing bare train steps...")
 
-    dt, step_flops = time_bare_steps(trainer, cfg)
+    dt, step_flops, model_flops = time_bare_steps(trainer, cfg)
     baseline = SUPERVISED_BASELINE_S if args.supervised else BASELINE_EPOCH_S
     epoch_slices = EPOCH_SLICES if args.task == "chaos" else len(trainer.train_pipe)
     step_epoch_s = epoch_slices * dt / args.batch
     step_tflops = step_flops / dt / 1e12 if step_flops else 0.0
+    model_tflops = model_flops / dt / 1e12 if model_flops else 0.0
     extras = {
         "task": args.task,
         "batch_size": args.batch,
         "train_step_epoch_seconds": round(step_epoch_s, 2),
-        "train_step_tflops_per_s": round(step_tflops, 1),
-        "train_step_mfu": round(step_tflops / PEAK_TFLOPS, 3),
+        # PRIMARY utilization number: plain-model (algorithmic) FLOPs over
+        # the measured step time — packed execution's structural zeros are
+        # excluded. The executed-FLOPs figures are secondary.
+        "train_step_mfu": round(model_tflops / PEAK_TFLOPS, 3),
+        "train_step_model_tflops_per_s": round(model_tflops, 1),
+        "train_step_tflops_per_s_executed": round(step_tflops, 1),
+        "train_step_mfu_executed": round(step_tflops / PEAK_TFLOPS, 3),
     }
 
     metric_name = (
