@@ -517,11 +517,14 @@ class Trainer:
         test_m = self._test_epoch()
         phases["time_test"] = time.time() - ts - sum(phases.values())
 
+        # fetch/host split of the case phase (case_eval timing contract):
+        # attributes time_cases drift to the tunnel link vs the 1-core host
+        case_timing: Dict[str, float] = {}
         testcase = evaluate_cases(
             self.predict_step, self.state, self.test_pipe, self.test_cases,
             cfg.data.eval_batch_size, dual=self.dual, target_net=None,
             keep_largest_cc=cfg.eval.keep_largest_cc,
-            predict_all=self.predict_all,
+            predict_all=self.predict_all, timing=case_timing,
         )
         traincase = evaluate_cases(
             self.predict_step, self.state, self.train_pipe, self.train_cases,
@@ -529,7 +532,7 @@ class Trainer:
             target_net="self" if self.dual else None,
             keep_largest_cc=cfg.eval.keep_largest_cc,
             keep_volumes=self.dual,
-            predict_all=self.predict_all,
+            predict_all=self.predict_all, timing=case_timing,
         )
         phases["time_cases"] = time.time() - ts - sum(phases.values())
 
@@ -570,6 +573,10 @@ class Trainer:
         row = {
             **row_metrics,
             **{k: round(v, 2) for k, v in phases.items()},
+            # sub-phases of time_cases (kept out of ``phases`` — the
+            # incremental sum there must only see disjoint phases)
+            "time_cases_fetch": round(case_timing.get("fetch", 0.0), 2),
+            "time_cases_host": round(case_timing.get("host", 0.0), 2),
             "time": dt,
         }
         self.history.append(row)

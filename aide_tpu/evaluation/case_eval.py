@@ -81,6 +81,7 @@ def infer_cases(
     dual: bool,
     keep_largest_cc: bool = True,
     predict_all: Optional[Callable] = None,
+    timing: Optional[Dict[str, float]] = None,
 ) -> List[Dict[int, np.ndarray]]:
     """Predicted volumes per case. Returns a list aligned with ``cases`` of
     {net_index: (S, H, W) uint8} (net_index 0 for single nets).
@@ -89,6 +90,13 @@ def infer_cases(
     fixed-size batches (one pad at the very end), then split back per case —
     instead of one padded dispatch per case chunk. Batches are dispatched
     before any fetch, so device execution overlaps the host loop.
+
+    ``timing``, when given, accumulates "fetch" (dispatch + device compute
+    + the device->host prediction transfer, one bucket — the tunneled
+    backend's block_until_ready returns early, so compute and transfer
+    cannot be separated; link health is the variable part) and "host"
+    (bit-unpack + connected components + metrics on the single host core,
+    sensitive to host load) so epoch logs can attribute time_cases drift.
     """
     case_ids = [str(c) for c in cases]
     all_idx: List[int] = []
@@ -104,10 +112,13 @@ def infer_cases(
     pad = (-n) % batch_size
     padded = np.asarray(all_idx + [all_idx[-1]] * pad)
 
+    import time
+
     import jax
 
     from aide_tpu.core.mesh import fetch
 
+    t0 = time.perf_counter()
     if predict_all is not None and pipe.device_image_data is not None:
         # the WHOLE eval set as one device program (lax.map over batches,
         # gathering on device) — one dispatch + one fetch; per-call
@@ -141,6 +152,9 @@ def infer_cases(
             np.asarray(p) if dual else np.asarray(p)[None] for p in fetched
         ]  # each (n_nets, B, H, W) — or (n_nets, B, H, W/8) bit-packed
         preds = np.concatenate(chunks, axis=1)[:, :n]
+    if timing is not None:
+        timing["fetch"] = timing.get("fetch", 0.0) + time.perf_counter() - t0
+        t0 = time.perf_counter()
     if preds.shape[-1] * 8 == pipe.img_size:
         # binary labels arrive bit-packed along width (engine/steps.py
         # make_predict_step: 8x smaller device->host fetch); unpack on host
@@ -157,6 +171,8 @@ def infer_cases(
             vols[net] = vol
         out.append(vols)
         offset += count
+    if timing is not None:
+        timing["host"] = timing.get("host", 0.0) + time.perf_counter() - t0
     return out
 
 
@@ -172,6 +188,7 @@ def evaluate_cases(
     full_metrics: bool = False,
     keep_volumes: bool = False,
     predict_all: Optional[Callable] = None,
+    timing: Optional[Dict[str, float]] = None,
 ) -> Dict[int, List[CaseResult]]:
     """Per-case 3D Dice (and optionally IoU/confusion counts) for each net.
 
@@ -183,8 +200,11 @@ def evaluate_cases(
     """
     volumes = infer_cases(
         predict_step, state, pipe, cases, batch_size, dual, keep_largest_cc,
-        predict_all=predict_all,
+        predict_all=predict_all, timing=timing,
     )
+    import time
+
+    t0 = time.perf_counter()
     results: Dict[int, List[CaseResult]] = {}
     n_nets = 2 if dual else 1
     for net in range(n_nets):
@@ -207,4 +227,6 @@ def evaluate_cases(
                 r.pred_volume = pred
             per_case.append(r)
         results[net] = per_case
+    if timing is not None:
+        timing["host"] = timing.get("host", 0.0) + time.perf_counter() - t0
     return results

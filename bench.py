@@ -178,9 +178,12 @@ def time_bare_steps(trainer, cfg, iters=16):
     # what the plain model would compute. Lowering (no compile — a remote
     # compile costs minutes) the unpacked twin of the same step gives the
     # frontend HLO flop count; convs/dots dominate and their frontend count
-    # equals the algorithmic one.
+    # equals the algorithmic one. The tunneled backend's
+    # Lowered.cost_analysis() returns None, so fall back to a CPU
+    # subprocess probe (--plain-flops-probe) on abstract shapes.
     model_flops = flops
     if cfg.model.packed:
+        pan = None
         try:
             import dataclasses
 
@@ -201,11 +204,106 @@ def time_bare_steps(trainer, cfg, iters=16):
             pan = plain_step.lower(state, *step_args(0)).cost_analysis()
             if isinstance(pan, list):
                 pan = pan[0]
-            model_flops = float(pan.get("flops", 0.0)) or flops
         except Exception as e:  # noqa: BLE001
-            log(f"plain-model flops analysis failed ({e}); "
-                "falling back to executed flops")
+            log(f"in-process plain-model flops analysis failed ({e})")
+        if isinstance(pan, dict) and pan.get("flops"):
+            model_flops = float(pan["flops"])
+        else:
+            probed = _plain_flops_subprocess(trainer, cfg)
+            if probed:
+                model_flops = probed
+            else:
+                log("plain-model flops unavailable; "
+                    "falling back to executed flops")
     return dt, flops, model_flops
+
+
+def _plain_flops_subprocess(trainer, cfg) -> float:
+    """Run --plain-flops-probe under JAX_PLATFORMS=cpu and parse its one
+    JSON line. The probe lowers on abstract shapes only (eval_shape init +
+    ShapeDtypeStruct batch) — seconds of host work, no device."""
+    import os
+    import subprocess
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # skip the machine profile's sitecustomize, which pins the axon backend
+    env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
+    cmd = [
+        sys.executable, os.path.abspath(__file__), "--plain-flops-probe",
+        "--batch", str(cfg.data.batch_size),
+        "--task", getattr(trainer, "_bench_task", "chaos"),
+    ]
+    if not trainer.dual:
+        cmd.append("--supervised")
+    try:
+        out = subprocess.run(
+            cmd, capture_output=True, timeout=600, env=env, text=True
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        return float(json.loads(line)["plain_flops"])
+    except Exception as e:  # noqa: BLE001
+        log(f"plain-flops subprocess probe failed ({e})")
+        return 0.0
+
+
+def plain_flops_probe(args) -> int:
+    """--plain-flops-probe: print the frontend HLO flop count of the PLAIN
+    (unpacked) train step at the given operating point. Runs on the CPU
+    platform with abstract shapes — no data, no compile, no device. The
+    probe batch carries float32 images (the real epoch ships uint8 +
+    on-device normalization), slightly UNDER-counting model flops by the
+    per-pixel affine — conservative for MFU."""
+    import jax
+    import jax.numpy as jnp
+
+    from aide_tpu.engine import steps as steps_mod
+    from aide_tpu.engine.state import DualTrainState, TrainState
+    from aide_tpu.models import build_model
+    from aide_tpu.ops.schedules import make_optimizer
+
+    variant = "comparison" if args.supervised else "proposed"
+    cfg = make_config(args.batch, variant, args.task)
+    cfg.model.packed = False
+    pt = TASK_POINTS[args.task]
+    size, batch, two = pt["img"], args.batch, pt["two_modal"]
+    model = build_model(cfg.model)
+    x = jnp.zeros((1, size, size, 3))
+    imgs = (x, x) if two else (x,)
+
+    def make_state():
+        tx = make_optimizer(cfg.optim, 123, cfg.num_epochs)
+        if variant == "proposed":
+            v1 = model.init(jax.random.key(0), *imgs, train=False)
+            v2 = model.init(jax.random.key(1), *imgs, train=False)
+            return DualTrainState.create(v1, v2, tx)
+        v = model.init(jax.random.key(0), *imgs, train=False)
+        return TrainState.create(v, tx)
+
+    state = jax.eval_shape(make_state)
+    f32 = jnp.float32
+    img = jax.ShapeDtypeStruct((batch, size, size, 3), f32)
+    fill = jax.ShapeDtypeStruct((batch, 3), f32)
+    tgt = jax.ShapeDtypeStruct((batch, size, size), jnp.int32)
+    if two:
+        batch_d = {"modal1": img, "modal2": img, "fill1": fill, "fill2": fill}
+    else:
+        batch_d = {"image": img, "fill": fill}
+    if variant == "proposed":
+        batch_d.update(target1=tgt, target2=tgt)
+        step = steps_mod.make_coteach_train_step(model, two, cfg)
+        lowered = step.lower(
+            state, batch_d, jax.random.key(0), jnp.asarray(0.5, f32)
+        )
+    else:
+        batch_d.update(target=tgt)
+        step = steps_mod.make_supervised_train_step(model, two, cfg)
+        lowered = step.lower(state, batch_d)
+    an = lowered.cost_analysis()
+    if isinstance(an, list):
+        an = an[0]
+    print(json.dumps({"plain_flops": float(an.get("flops", 0.0))}))
+    return 0
 
 
 def main() -> int:
@@ -221,7 +319,13 @@ def main() -> int:
                          "the timed full epoch)")
     ap.add_argument("--profile", metavar="DIR",
                     help="wrap the timed epoch in jax.profiler.trace")
+    ap.add_argument("--plain-flops-probe", action="store_true",
+                    help="print the unpacked model's frontend flop count "
+                         "and exit (run under JAX_PLATFORMS=cpu)")
     args = ap.parse_args()
+
+    if args.plain_flops_probe:
+        return plain_flops_probe(args)
 
     import shutil
     import signal
@@ -275,6 +379,7 @@ def main() -> int:
     cfg = make_config(args.batch, variant, args.task)
     log(f"building trainer ({args.task} point, decode on 1 host core)...")
     trainer = build_trainer(cfg, args.task)
+    trainer._bench_task = args.task  # for the plain-flops subprocess probe
     log("trainer built; warmup epoch 0 (compiles train/eval/predict)...")
     trainer.run_epoch(0)
     log("warmup done; timing bare train steps...")
