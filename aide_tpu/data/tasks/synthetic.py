@@ -32,6 +32,14 @@ _DOMAINS = {
     # low CNR, heavy bias field, hot distractors: the "DX" look
     "b": dict(contrast=(7.0, 14.0), base=(130.0, 180.0),
               noise=(13.0, 22.0), bias=26.0, d_gain=(1.0, 1.6)),
+    # midpoint of a and b: a MILD scanner shift. The a:b gap is
+    # catastrophic (a source-only model annotates b at ~0.11 Dice —
+    # experiments/synthetic_aide_transfer_ab.json); a:m sits in the regime
+    # the reference's 3T<->DX protocol actually occupies, where the
+    # source model's target annotations are usable and refresh can add
+    # information rather than only limit damage.
+    "m": dict(contrast=(10.0, 20.0), base=(95.0, 145.0),
+              noise=(11.0, 18.0), bias=18.0, d_gain=(0.85, 1.3)),
 }
 
 
