@@ -35,12 +35,15 @@ def _open_bytes(path: str) -> bytes:
     with open(path, "rb") as fh:
         data = fh.read()
     if data[:2] == b"\x1f\x8b":
+        import zlib
+
         try:
             data = gzip.decompress(data)
-        except (OSError, EOFError) as e:
-            # mid-stream truncation raises EOFError, corrupt blocks OSError;
-            # normalize to the reader contract (clean ValueError, never a
-            # partial decode)
+        except (OSError, EOFError, zlib.error) as e:
+            # mid-stream truncation raises EOFError, bad gzip framing
+            # OSError, and corrupt deflate blocks zlib.error (NOT an
+            # OSError); normalize all to the reader contract (clean
+            # ValueError, never a partial decode)
             raise ValueError(f"{path}: corrupt/truncated gzip stream: {e}")
     return data
 

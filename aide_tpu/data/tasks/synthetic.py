@@ -42,6 +42,14 @@ _DOMAINS = {
               noise=(11.0, 18.0), bias=18.0, d_gain=(0.85, 1.3)),
 }
 
+# Frozen per-domain seed multipliers. These MUST never change for an
+# existing domain (decode caches key on decode_fingerprint, which does not
+# see this, and checked-in experiment renders depend on it); new domains
+# append the next integer. Historically 1 + sorted(_DOMAINS).index(d),
+# frozen here so future additions cannot shift earlier domains' draws.
+_DOMAIN_SEED_MULT = {"a": 1, "b": 2, "m": 3}
+assert set(_DOMAIN_SEED_MULT) == set(_DOMAINS)
+
 
 @TASKS.register("synthetic")
 class SyntheticTask(Task):
@@ -206,7 +214,7 @@ class SyntheticTask(Task):
                 (
                     (self.seed * 7 + 13) * 999983
                     + case * 613
-                    + 104729 * (1 + sorted(_DOMAINS).index(domain))
+                    + 104729 * _DOMAIN_SEED_MULT[domain]
                 ) % (2**31)
             )
             spec = _DOMAINS[domain]
@@ -278,6 +286,31 @@ class SyntheticTask(Task):
         contrast2 = -(10.0 + 18.0 * crng2.random())   # fg darker
         d_gain = contrast2 * (0.1 + 0.6 * crng2.random())
         noise_sigma2 = 10.0 + 12.0 * crng2.random()
+        bias_amp2 = 12.0
+        domain = self._domain_of(case)
+        if domain:
+            # the domain is a SCANNER, so both acquisitions shift with it:
+            # re-draw modal2's appearance from the domain's distributions
+            # (case-keyed like modal1's, offset stream), keeping modal2's
+            # conventions — inverted fg contrast, weaker distractor gain
+            drng2 = np.random.default_rng(
+                (
+                    (self.seed * 7 + 13) * 999983
+                    + case * 613 + 7919
+                    + 104729 * _DOMAIN_SEED_MULT[domain]
+                ) % (2**31)
+            )
+            spec = _DOMAINS[domain]
+
+            def draw2(lo_hi):
+                lo, hi = lo_hi
+                return lo + (hi - lo) * drng2.random()
+
+            base2 = draw2(spec["base"]) + 30.0
+            contrast2 = -1.2 * draw2(spec["contrast"])
+            noise_sigma2 = draw2(spec["noise"])
+            bias_amp2 = spec["bias"]
+            d_gain = contrast2 * 0.4 * draw2(spec["d_gain"])
         img = np.full((s, s), base2, np.float32)
         img += contrast2 * geom["mask"]
         for dm in geom["d_masks"]:
@@ -285,7 +318,7 @@ class SyntheticTask(Task):
         yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
         ny, nx = (yy / s - 0.5), (xx / s - 0.5)
         gy, gx, gq = rng2.normal(0, 1.0, size=3)
-        img += 12.0 * (gy * ny + gx * nx + gq * (ny * nx) * 2.0)
+        img += bias_amp2 * (gy * ny + gx * nx + gq * (ny * nx) * 2.0)
         img += noise_sigma2 * rng2.normal(size=(s, s))
         return np.clip(img, 0, 255).astype(np.float32)
 

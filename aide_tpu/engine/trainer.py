@@ -164,7 +164,15 @@ class Trainer:
             # cleanly (rolls over the sharded H lower to halo exchanges), so
             # 'auto' pins to it whenever the space axis is live.
             if cfg.data.warp_method == "auto":
-                cfg.data.warp_method = "shear"
+                # pin on the trainer's OWN config view — a caller may reuse
+                # its TrainConfig for another (space-free) trainer, where
+                # 'auto' must still resolve to the Pallas kernel
+                import dataclasses as _dc
+
+                cfg = _dc.replace(
+                    cfg, data=_dc.replace(cfg.data, warp_method="shear")
+                )
+                self.cfg = cfg
                 self.logger.info(
                     "space axis active: TTA warps routed to the 3-shear XLA "
                     "path (a Pallas custom call would force an all-gather "

@@ -252,6 +252,13 @@ def _resolve_method(method: str, shape=None) -> str:
     composes rotations > 45 degrees from an exact 90-degree rotation, which
     transposes the canvas — only a square canvas keeps the batch shape
     static. Every shipped task is square; this keeps the API total."""
+    if method not in ("auto", "pallas", "shear", "gather"):
+        # an unknown string would silently fall through augment/invert's
+        # if-chain to the shear path — e.g. an exactness A/B typo'd as
+        # 'gahter' would compare shear against itself
+        raise ValueError(
+            f"warp method must be auto|pallas|shear|gather, got {method!r}"
+        )
     if shape is not None and shape[1] != shape[2] and method != "gather":
         return "gather"
     if method != "auto":

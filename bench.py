@@ -215,6 +215,7 @@ def time_bare_steps(trainer, cfg, iters=16):
             else:
                 log("plain-model flops unavailable; "
                     "falling back to executed flops")
+                model_flops = 0.0  # signal the fallback to the caller
     return dt, flops, model_flops
 
 
@@ -389,17 +390,24 @@ def main() -> int:
     epoch_slices = EPOCH_SLICES if args.task == "chaos" else len(trainer.train_pipe)
     step_epoch_s = epoch_slices * dt / args.batch
     step_tflops = step_flops / dt / 1e12 if step_flops else 0.0
-    model_tflops = model_flops / dt / 1e12 if model_flops else 0.0
+    mfu_basis = "model" if model_flops else "executed"
+    model_tflops = (model_flops or step_flops) / dt / 1e12 if dt else 0.0
     extras = {
         "task": args.task,
         "batch_size": args.batch,
         "train_step_epoch_seconds": round(step_epoch_s, 2),
         # PRIMARY utilization number: plain-model (algorithmic) FLOPs over
         # the measured step time — packed execution's structural zeros are
-        # excluded. The executed-FLOPs figures are secondary.
+        # excluded. The executed-FLOPs figures are secondary. When the
+        # plain-flops probe fails, train_step_mfu falls back to the
+        # executed basis — mfu_basis says which one this row carries so a
+        # fallback can never masquerade as the honest number.
         "train_step_mfu": round(model_tflops / PEAK_TFLOPS, 3),
+        "mfu_basis": mfu_basis,
         "train_step_model_tflops_per_s": round(model_tflops, 1),
-        "train_step_tflops_per_s_executed": round(step_tflops, 1),
+        # executed-FLOPs throughput under its historical key (BENCH_r01-03
+        # recorded train_step_tflops_per_s on this basis)
+        "train_step_tflops_per_s": round(step_tflops, 1),
         "train_step_mfu_executed": round(step_tflops / PEAK_TFLOPS, 3),
     }
 

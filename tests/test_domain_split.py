@@ -90,6 +90,31 @@ def test_fingerprint_and_validation(tmp_path):
         _make(tmp_path, "a:b", style="ellipse")
 
 
+def test_modal2_shifts_with_domain(tmp_path):
+    """The domain is a SCANNER: with two_modal=True BOTH acquisitions must
+    shift with the domain assignment. (Regression for the round-4 review
+    finding: modal2 originally ignored _domain_of, so a fused model could
+    segment the 'shifted' target through the unshifted second modality,
+    silently collapsing the transfer protocol's domain gap.)"""
+    t_aa = _make(tmp_path, "a:a", two_modal=True)
+    t_bb = _make(tmp_path, "b:b", two_modal=True)
+    s_a = t_aa.load_manifest(train=True)[0]
+    s_b = t_bb.load_manifest(train=True)[0]
+    (a1, a2), ma = t_aa.decode(s_a)
+    (b1, b2), mb = t_bb.decode(s_b)
+    assert np.array_equal(ma, mb)            # same anatomy
+    assert not np.array_equal(a1, b1)        # modal1 shifts
+    assert not np.array_equal(a2, b2)        # modal2 shifts too
+    # same domain => modal2 render is deterministic
+    t_aa2 = _make(tmp_path, "a:a", two_modal=True, root=str(tmp_path / "re"))
+    (c1, c2), _ = t_aa2.decode(t_aa2.load_manifest(train=True)[0])
+    assert np.array_equal(a2, c2)
+    # modal2 keeps its conventions under a domain: fg darker than its bg
+    fg = a2[ma.astype(bool)].mean()
+    bg = a2[~ma.astype(bool)].mean()
+    assert fg < bg
+
+
 def test_domains_differ_in_cnr(tmp_path):
     """Domain b is the low-contrast-to-noise / heavy-bias look; the gap must
     be systematic (per-image normalization removes base shifts, so CNR is

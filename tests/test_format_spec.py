@@ -299,6 +299,20 @@ class TestNiftiAdversarial:
         with pytest.raises(ValueError, match="gzip"):
             read_nifti(str(p))
 
+    def test_corrupt_deflate_body_rejected(self, tmp_path):
+        # bit-rot INSIDE the deflate stream raises zlib.error, which is
+        # neither OSError nor EOFError — it must still surface as the
+        # reader contract's clean ValueError
+        import gzip as _gz
+
+        whole = bytearray(_gz.compress(_nifti_bytes(3, 2, 4)))
+        for i in range(20, min(60, len(whole) - 9)):
+            whole[i] ^= 0xA5  # trash deflate data, keep the gzip magic
+        p = tmp_path / "rot.nii.gz"
+        p.write_bytes(bytes(whole))
+        with pytest.raises(ValueError, match="gzip"):
+            read_nifti(str(p))
+
     def test_orientation_codes_ignored_like_simpleitk(self, tmp_path):
         """The reference reads volumes via GetArrayFromImage — INDEX order,
         no reorientation. Non-axial qform/sform metadata must not change
