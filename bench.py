@@ -45,6 +45,10 @@ BASELINE_EPOCH_S = 420.0
 SUPERVISED_BASELINE_S = 300.0
 # bf16 peak of one v5e chip (MXU); MFU is measured against this
 PEAK_TFLOPS = 197.0
+# the reference quotes "several seconds" per 3D volume for its eval scripts
+# (/root/reference/README.md:46, bs=1 slice loop + CPU scipy CC); 3.0 s is
+# the charitable LOW end of "several", used as the nominal vs_baseline
+EVAL_VOLUME_BASELINE_S = 3.0
 
 
 def log(msg):
@@ -307,6 +311,71 @@ def plain_flops_probe(args) -> int:
     return 0
 
 
+def eval_volume_bench(trainer, cfg, args) -> int:
+    """Per-volume 3D evaluation speed — the BASELINE.md row the epoch bench
+    does not isolate. One "volume eval" = batched slice inference through
+    the jitted predict program, the bit-packed device->host fetch,
+    keep-largest-CC, and 3D Dice/IoU/confusion on host — the same work as
+    one case of the reference's eval scripts
+    (evalchaos_comparison_1cases.py:143-243), which it runs as a bs=1
+    slice loop at "several seconds" per volume (README.md:46).
+
+    Two numbers: single-volume LATENCY (one volume alone — pays the full
+    ~0.25 s tunnel round trip; the serving-relevant figure) and batch-
+    amortized throughput (all test volumes in ONE lax.map program / one
+    fetch, the in-training path; seconds per volume)."""
+    from aide_tpu.evaluation.case_eval import evaluate_cases
+
+    cases = list(trainer.test_cases)
+    eb = cfg.data.eval_batch_size
+    pipe = trainer.test_pipe
+
+    def run(case_list):
+        return evaluate_cases(
+            trainer.predict_step, trainer.state, pipe, case_list, eb,
+            trainer.dual, keep_largest_cc=True, full_metrics=True,
+            predict_all=trainer.predict_all,
+        )
+
+    log("compiling predict programs (single-volume + full-set shapes)...")
+    run(cases[:1])
+    run(cases)
+    log("timing single-volume latency...")
+    lat = []
+    for _ in range(2):
+        for c in cases:
+            t0 = time.perf_counter()
+            run([c])
+            lat.append(time.perf_counter() - t0)
+    log("timing batch-amortized throughput (all volumes, one program)...")
+    thr = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run(cases)
+        thr.append(time.perf_counter() - t0)
+    lat_med = float(np.median(lat))
+    amortized = float(np.median(thr)) / len(cases)
+    print(json.dumps({
+        "metric": f"{args.task}_eval_volume_seconds",
+        "value": round(lat_med, 3),
+        "unit": "s/volume",
+        "vs_baseline": round(EVAL_VOLUME_BASELINE_S / lat_med, 2),
+        "task": args.task,
+        # dual co-teach states evaluate BOTH nets per volume; --supervised
+        # matches the reference eval script's single net
+        "nets_evaluated": 2 if trainer.dual else 1,
+        "slices_per_volume": len(pipe.case_indices(cases[0])),
+        "img_size": cfg.data.img_size,
+        "volumes_timed": len(cases),
+        "amortized_volume_seconds": round(amortized, 3),
+        "includes": "batched slice inference + bit-packed fetch + "
+                    "largest-CC + 3D dice/iou/confusion (host)",
+        "baseline_note": "reference README.md:46: 'several seconds' per "
+                         "volume; vs_baseline uses 3.0 s",
+    }))
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
@@ -315,6 +384,11 @@ def main() -> int:
     ap.add_argument("--supervised", action="store_true",
                     help="benchmark the supervised comparison config "
                          "(single net, no TTA/coteach; reference ~300 s)")
+    ap.add_argument("--eval-volume", action="store_true",
+                    help="benchmark per-volume 3D eval speed (inference + "
+                         "CC + metrics; reference: 'several seconds' per "
+                         "volume, README.md:46). Combine with --supervised "
+                         "for the single-net eval-script analogue.")
     ap.add_argument("--steps-only", action="store_true",
                     help="report the step-extrapolated metric only (skip "
                          "the timed full epoch)")
@@ -381,6 +455,10 @@ def main() -> int:
     log(f"building trainer ({args.task} point, decode on 1 host core)...")
     trainer = build_trainer(cfg, args.task)
     trainer._bench_task = args.task  # for the plain-flops subprocess probe
+    if args.eval_volume:
+        # eval-only: no train-step compile needed (~minutes saved); the
+        # predict programs warm up inside the bench itself
+        return eval_volume_bench(trainer, cfg, args)
     log("trainer built; warmup epoch 0 (compiles train/eval/predict)...")
     trainer.run_epoch(0)
     log("warmup done; timing bare train steps...")
