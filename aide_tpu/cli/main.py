@@ -252,6 +252,7 @@ def cmd_export(args) -> int:
         export_serving_artifact(
             args.output, model, variables, s, two_modal,
             meta={"model": cfg.model.name, "epoch": int(meta.get("epoch", 0))},
+            weights_dtype=getattr(args, "weights_dtype", "float32"),
         )
     else:
         from aide_tpu.interop import export_reference_checkpoint
@@ -316,6 +317,12 @@ def main(argv=None) -> int:
         "--format", choices=("pkl", "serve"), default="pkl",
         help="pkl: reference torch checkpoint; serve: framework-free "
              "StableHLO function with baked-in weights (jax.export)",
+    )
+    p_exp.add_argument(
+        "--weights-dtype", choices=("float32", "bfloat16"), default="float32",
+        dest="weights_dtype",
+        help="(serve only) precision of the baked-in weights; bfloat16 "
+             "halves the artifact and serving weight memory",
     )
     p_exp.set_defaults(fn=cmd_export)
 

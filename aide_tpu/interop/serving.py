@@ -30,12 +30,37 @@ def export_serving_artifact(
     img_size: int,
     two_modal: bool,
     meta: Dict | None = None,
+    weights_dtype: str = "float32",
 ) -> None:
     """Write ``path`` = MAGIC + u64 header length + JSON header + the
-    serialized exported function."""
+    serialized exported function.
+
+    ``weights_dtype="bfloat16"`` rounds the baked-in floating weight leaves
+    to bf16 before export, halving the artifact (the weights dominate its
+    size) and the serving-time weight memory. The function signature is
+    unchanged (float32 in, float32 probabilities out); mixed-precision
+    promotion keeps the compute dtype what the model already uses, so the
+    only deviation from the float32 artifact is one rounding of the weights.
+    """
     import jax
     import jax.numpy as jnp
     from jax import export as jax_export
+
+    if weights_dtype not in ("float32", "bfloat16"):
+        raise ValueError(
+            f"weights_dtype must be float32 or bfloat16, got {weights_dtype!r}"
+        )
+    if weights_dtype == "bfloat16":
+        # jnp.asarray is load-bearing: checkpoint-loaded variables are numpy
+        # arrays, and numpy-backed bf16 constants get eagerly promoted back
+        # to f32 during tracing (the artifact silently stays full-size);
+        # device-backed bf16 leaves serialize as true bf16 constants.
+        variables = jax.tree_util.tree_map(
+            lambda leaf: jnp.asarray(leaf).astype(jnp.bfloat16)
+            if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating)
+            else leaf,
+            variables,
+        )
 
     def serve(*images):
         logits = model.apply(variables, *images, train=False)
@@ -44,7 +69,11 @@ def export_serving_artifact(
     (b,) = jax_export.symbolic_shape("b")
     spec = jax.ShapeDtypeStruct((b, img_size, img_size, 3), jnp.float32)
     args = (spec, spec) if two_modal else (spec,)
-    exported = jax_export.export(jax.jit(serve))(*args)
+    # multi-platform lowering: a single-platform export refuses to run
+    # anywhere but the backend it was traced on, which defeats "export on
+    # the training host, serve elsewhere" (e.g. CLI exports run on CPU)
+    platforms = ("cpu", "tpu", "cuda")
+    exported = jax_export.export(jax.jit(serve), platforms=platforms)(*args)
     payload = exported.serialize()
 
     header = dict(meta or {})
@@ -52,6 +81,8 @@ def export_serving_artifact(
         img_size=int(img_size),
         two_modal=bool(two_modal),
         input_dtype="float32",
+        weights_dtype=weights_dtype,
+        platforms=list(platforms),
         output="softmax probabilities (B, H, W, C), float32",
         jax_version=jax.__version__,
     )

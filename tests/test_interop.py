@@ -402,6 +402,77 @@ def test_serving_artifact_two_modal(tmp_path):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_serving_artifact_bf16_weights(tmp_path):
+    """weights_dtype='bfloat16' bakes bf16 weight constants: the artifact
+    shrinks materially and the function output stays within one weight
+    rounding of the float32 artifact."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from aide_tpu.core.config import ModelConfig
+    from aide_tpu.interop.serving import (
+        export_serving_artifact,
+        load_serving_artifact,
+    )
+    from aide_tpu.models import build_model
+
+    model = build_model(
+        ModelConfig(name="unet2", compute_dtype="float32", norm="group")
+    )
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1, 16, 16, 3)), train=False
+    )
+    # numpy-backed leaves = what checkpoint loading (flax from_bytes)
+    # produces; numpy bf16 constants used to fold back to f32 during
+    # tracing, silently exporting a full-size artifact
+    variables = jax.tree_util.tree_map(np.asarray, variables)
+    p32 = str(tmp_path / "w32.serve")
+    p16 = str(tmp_path / "w16.serve")
+    export_serving_artifact(p32, model, variables, 16, two_modal=False)
+    export_serving_artifact(
+        p16, model, variables, 16, two_modal=False,
+        weights_dtype="bfloat16",
+    )
+    # the weights dominate the artifact; bf16 must cut it well below 3/4
+    assert os.path.getsize(p16) < 0.75 * os.path.getsize(p32)
+
+    call32, hdr32 = load_serving_artifact(p32)
+    call16, hdr16 = load_serving_artifact(p16)
+    assert hdr32["weights_dtype"] == "float32"
+    assert hdr16["weights_dtype"] == "bfloat16"
+    x = np.random.default_rng(2).normal(size=(2, 16, 16, 3)).astype(
+        np.float32
+    )
+    want32 = np.asarray(call32(x))
+    got = np.asarray(call16(x))
+    assert got.dtype == np.float32 and got.shape == want32.shape
+    # exact semantics: the artifact == model.apply with bf16-rounded weights
+    bf16_vars = jax.tree_util.tree_map(
+        lambda leaf: leaf.astype(jnp.bfloat16)
+        if jnp.issubdtype(leaf.dtype, jnp.floating) else leaf,
+        variables,
+    )
+    want16 = np.asarray(
+        jax.nn.softmax(
+            model.apply(bf16_vars, x, train=False).astype(jnp.float32),
+            axis=-1,
+        )
+    )
+    np.testing.assert_allclose(got, want16, atol=1e-5)
+    # and the rounding stays a perturbation of the float32 output on
+    # average (pointwise deviation can spike where logits are near-equal)
+    assert float(np.abs(got - want32).mean()) < 5e-3
+    np.testing.assert_allclose(got.sum(-1), 1.0, atol=1e-5)
+
+    with pytest.raises(ValueError, match="weights_dtype"):
+        export_serving_artifact(
+            str(tmp_path / "bad.serve"), model, variables, 16,
+            two_modal=False, weights_dtype="float16",
+        )
+
+
 def test_serving_artifact_rejects_foreign_file(tmp_path):
     from aide_tpu.interop.serving import load_serving_artifact
 
