@@ -3,6 +3,7 @@
 import json
 import os
 
+import numpy as np
 import pytest
 
 from aide_tpu.cli.main import main
@@ -64,6 +65,29 @@ def test_train_eval_predict_cycle(tmp_path, capsys):
 
     obj = torch.load(f"{work}/net.pkl", weights_only=False)
     assert "net" in obj and "epoch" in obj
+
+    # export --format serve: a framework-free StableHLO artifact; bf16
+    # weights must shrink it vs the float32 export
+    for dtype, out in (("float32", "f32.serve"), ("bfloat16", "bf16.serve")):
+        assert (
+            main(
+                ["export"] + common
+                + ["--checkpoint", ckpt, "--output", f"{work}/{out}",
+                   "--format", "serve", "--weights-dtype", dtype]
+            )
+            == 0
+        )
+    sz32 = os.path.getsize(f"{work}/f32.serve")
+    sz16 = os.path.getsize(f"{work}/bf16.serve")
+    assert sz16 < 0.75 * sz32, (sz16, sz32)
+    from aide_tpu.interop.serving import load_serving_artifact
+
+    call, header = load_serving_artifact(f"{work}/bf16.serve")
+    assert header["weights_dtype"] == "bfloat16"
+    assert "cpu" in header["platforms"] and "tpu" in header["platforms"]
+    probs = np.asarray(call(np.zeros((2, 32, 32, 3), np.float32)))
+    assert probs.shape == (2, 32, 32, 2)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
 
 
 def test_eval_requires_checkpoint(tmp_path):
