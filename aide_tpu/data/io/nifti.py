@@ -79,9 +79,14 @@ def read_nifti(path: str) -> np.ndarray:
     if datatype not in _DTYPES:
         raise ValueError(f"{path}: unsupported NIfTI datatype {datatype}")
     vox_offset_f = struct.unpack(end + "f", data[108:112])[0]
-    if not np.isfinite(vox_offset_f) or (0.0 < vox_offset_f < 348.0):
+    if (
+        not np.isfinite(vox_offset_f)
+        or vox_offset_f < 0.0
+        or (0.0 < vox_offset_f < 352.0)
+    ):
         # junk offsets pointing INTO the header would silently decode header
-        # bytes as voxels
+        # bytes as voxels (the single-file minimum is 352: 348-byte header +
+        # 4-byte extension indicator; 0 means "use the default 352")
         raise ValueError(f"{path}: invalid vox_offset {vox_offset_f}")
     vox_offset = int(vox_offset_f)
     scl_slope = struct.unpack(end + "f", data[112:116])[0]

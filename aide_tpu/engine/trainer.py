@@ -178,11 +178,14 @@ class Trainer:
                     "path (a Pallas custom call would force an all-gather "
                     "of the spatially-sharded batch)"
                 )
-            elif cfg.data.warp_method == "pallas":
+            elif cfg.data.warp_method in ("pallas", "gather"):
+                # 'gather' is equally partition-hostile: per-pixel 2-D
+                # gathers force the same all-gather of the sharded batch
                 self.logger.warning(
-                    "data.warp_method='pallas' with an active space axis: "
-                    "the partitioner will all-gather the batch around the "
-                    "kernel — expect degraded scaling; use 'auto'/'shear'"
+                    f"data.warp_method={cfg.data.warp_method!r} with an "
+                    "active space axis: the partitioner will all-gather the "
+                    "batch around it — expect degraded scaling; use "
+                    "'auto'/'shear'"
                 )
         # device-resident dataset: gather batches on device by index so an
         # epoch ships only (B,) index arrays over the host->device link.

@@ -19,6 +19,8 @@ import json
 import os
 from typing import Any, Callable, Dict, Tuple
 
+import numpy as np
+
 
 MAGIC = b"AIDETPU1"
 
@@ -51,12 +53,15 @@ def export_serving_artifact(
             f"weights_dtype must be float32 or bfloat16, got {weights_dtype!r}"
         )
     if weights_dtype == "bfloat16":
-        # jnp.asarray is load-bearing: checkpoint-loaded variables are numpy
-        # arrays, and numpy-backed bf16 constants get eagerly promoted back
-        # to f32 during tracing (the artifact silently stays full-size);
-        # device-backed bf16 leaves serialize as true bf16 constants.
+        # cast on HOST (ml_dtypes-backed numpy bf16 serializes as a true
+        # bf16 constant — verified equal-size to a device-backed cast): a
+        # per-leaf device round trip would pay the tunneled backend's
+        # ~0.25 s/transfer latency hundreds of times and make export depend
+        # on chip availability for a purely host-side artifact
+        import ml_dtypes
+
         variables = jax.tree_util.tree_map(
-            lambda leaf: jnp.asarray(leaf).astype(jnp.bfloat16)
+            lambda leaf: np.asarray(leaf).astype(ml_dtypes.bfloat16)
             if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating)
             else leaf,
             variables,

@@ -264,6 +264,18 @@ class TestNiftiAdversarial:
         with pytest.raises(ValueError, match="vox_offset"):
             read_nifti(str(p))
 
+    @pytest.mark.parametrize("off", [348.0, 350.0, 351.0, -4.0])
+    def test_extension_indicator_offsets_rejected(self, tmp_path, off):
+        # 348..351 point at the 4-byte extension-indicator field (single-file
+        # minimum is 352); negatives must hit the reader's contract error,
+        # not numpy's generic one
+        blob = bytearray(_nifti_bytes(3, 2, 4))
+        struct.pack_into("<f", blob, 108, off)
+        p = tmp_path / "extoff.nii"
+        p.write_bytes(bytes(blob))
+        with pytest.raises(ValueError, match="vox_offset"):
+            read_nifti(str(p))
+
     def test_nan_vox_offset_rejected(self, tmp_path):
         blob = bytearray(_nifti_bytes(3, 2, 4))
         struct.pack_into("<f", blob, 108, float("nan"))
