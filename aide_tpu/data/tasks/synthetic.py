@@ -401,9 +401,14 @@ class SyntheticTask(Task):
     def decode_fingerprint(self) -> str:
         # every generator knob that alters pixels/labels without changing
         # the spec list (the spec paths are virtual, so the pipeline's
-        # file-stat signature can't see these)
+        # file-stat signature can't see these). render_v is a GENERATOR
+        # VERSION token: bump it whenever the rendering code itself changes
+        # pixels for existing configs (e.g. the round-4 domain-dependent
+        # modal2 change), so persistent decode caches written before the
+        # change miss instead of silently serving stale renders
         return (
-            f"SyntheticTask:style={self.style},seed={self.seed},"
+            "SyntheticTask:render_v=2,"
+            f"style={self.style},seed={self.seed},"
             f"size={self.size},two_modal={self.two_modal},"
             f"noisy_fraction={self.noisy_fraction},"
             f"clean_cases={self.clean_cases},"

@@ -96,6 +96,12 @@ class Trainer:
         # optional observation hook, called as on_refresh(epoch) after a
         # label refresh is applied and synced to device
         self.on_refresh = None
+        # every refresh decision, in order: (epoch, net, worst-k selection,
+        # actually-rewritten subset). Cross-placement equivalence checks
+        # (__graft_entry__.dryrun_multichip) compare this log — case
+        # SELECTION is a discrete decision that must match across meshes
+        # even where float label pixels may differ at the ulp level
+        self.refresh_log: list = []
 
         # ---- model + states ----
         if mesh is None:
@@ -408,6 +414,9 @@ class Trainer:
             # rewritten subset follows when it differs
             self.logger.info(
                 "Mask {} modify for net{}".format(selected, net_idx + 1)
+            )
+            self.refresh_log.append(
+                (epoch, net_idx + 1, tuple(selected), tuple(refreshed))
             )
             if refreshed != selected:
                 self.logger.info(

@@ -53,19 +53,31 @@ def export_serving_artifact(
             f"weights_dtype must be float32 or bfloat16, got {weights_dtype!r}"
         )
     if weights_dtype == "bfloat16":
-        # cast on HOST (ml_dtypes-backed numpy bf16 serializes as a true
-        # bf16 constant — verified equal-size to a device-backed cast): a
-        # per-leaf device round trip would pay the tunneled backend's
-        # ~0.25 s/transfer latency hundreds of times and make export depend
-        # on chip availability for a purely host-side artifact
+        # The bf16 leaves must be JAX arrays, not numpy: flax promotes
+        # params to the module compute dtype, and on a NUMPY bf16 leaf that
+        # `.astype(float32)` runs EAGERLY during tracing — the baked
+        # constant silently becomes full-size f32 (round-4 regression; the
+        # artifact came out LARGER than f32). On a jax-array leaf the same
+        # cast is traced, so the constant stays bf16 and the promotion is
+        # one in-graph convert. Place the leaves on the host CPU backend
+        # when one exists so export never pays the tunneled TPU backend's
+        # ~0.25 s/transfer per leaf nor depends on chip availability.
         import ml_dtypes
 
-        variables = jax.tree_util.tree_map(
-            lambda leaf: np.asarray(leaf).astype(ml_dtypes.bfloat16)
-            if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating)
-            else leaf,
-            variables,
-        )
+        try:
+            _host = jax.local_devices(backend="cpu")[0]
+        except Exception:  # cpu platform masked (e.g. JAX_PLATFORMS=<tpu>)
+            _host = None
+
+        def _to_bf16(leaf):
+            if not (
+                hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating)
+            ):
+                return leaf
+            arr = np.asarray(leaf).astype(ml_dtypes.bfloat16)
+            return jnp.asarray(arr) if _host is None else jax.device_put(arr, _host)
+
+        variables = jax.tree_util.tree_map(_to_bf16, variables)
 
     def serve(*images):
         logits = model.apply(variables, *images, train=False)
