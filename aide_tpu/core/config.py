@@ -165,6 +165,21 @@ class CoteachConfig:
     # trainer (nets stay in train mode during TTA); 'running' matches the
     # kidney trainers' explicit net.eval() (trainkidney_proposed_mask1.py:267).
     tta_bn: str = "batch"
+    # run-time engagement guardrail (no analogue in the reference — it has
+    # no defense against the transfer cliff its own protocol can hit): each
+    # epoch the trainer logs the cross-net prediction agreement and the
+    # predicted-vs-working-label foreground ratio, and at the END of the
+    # consistency ramp (warmup_epochs) emits a verdict. When agreement or
+    # foreground volume is out of band the refresh loop is not engaging
+    # (bootstrap labels below the ~0.2-quality cliff, or a collapsed net) —
+    # the logged recommendation is to ABSTAIN: deploy the pretrain/bootstrap
+    # weights rather than this run's checkpoints. Thresholds calibrated on
+    # the synthetic transfer ladder (experiments/RESULTS.md: the a->b
+    # control and the a->m seed-23 transition-zone draw fail the check; all
+    # clearly-positive directions pass).
+    engagement_check: bool = True
+    engagement_min_agreement: float = 0.5
+    engagement_fg_band: Tuple[float, float] = (0.2, 5.0)
 
 
 @dataclass

@@ -418,6 +418,70 @@ def make_predict_step(model, two_modal: bool, dual: bool):
     return jax.jit(predict)
 
 
+def make_eval_predict_all(model, two_modal: bool, cfg: TrainConfig):
+    """Test-set metrics AND case predictions in ONE device program (dual).
+
+    The epoch loop historically ran the test slices through the model
+    twice: once for batch loss/dice (:344-371) and once for the per-case
+    label maps (:373-427) — both in eval mode, so the logits are the same.
+    This program computes them together: one ``lax.map`` over an (N, B)
+    index matrix into the device-resident test data, each row yielding the
+    masked per-image loss/dice sums (``valid`` zeroes the padded tail of
+    the final ragged batch) and the bit-packed argmax labels. One dispatch
+    + one fetch replaces ~2 dispatches per eval batch plus a second full
+    inference pass over the test set.
+
+    Returns (totals, labels): totals with the keys/semantics of
+    make_eval_step accumulated over the whole set (loss sums weighted per
+    image, matching Trainer._accumulate's mean*count bookkeeping), labels
+    shaped (N, 2, B, H, W/8) packed as in make_predict_step.
+    """
+    forward = make_forward(model, two_modal)
+    image_criterion = make_image_criterion(cfg)
+    thr = cfg.eval.threshold
+
+    def _encode(labels):
+        if labels.shape[-1] % 8 == 0:
+            return jnp.packbits(labels.astype(jnp.uint8), axis=-1)
+        return labels.astype(jnp.uint8)
+
+    @jax.jit
+    def run(state: DualTrainState, data, idx_mat, valid_mat):
+        def one(args):
+            idx, valid = args
+            batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+            target = batch.pop("target").astype(jnp.int32)
+            images = batch_images(batch, two_modal)
+
+            def fwd(params, stats):
+                out, _ = forward(params, stats, images, False, False)
+                return out
+
+            outputs = jax.vmap(fwd)(state.params, state.batch_stats)
+            out1, out2 = outputs[0], outputs[1]
+            d1, _ = metrics._dice_vector(out1, target, thr)
+            d2, _ = metrics._dice_vector(out2, target, thr)
+            totals = {
+                "loss1": jnp.sum(image_criterion(out1, target) * valid),
+                "loss2": jnp.sum(image_criterion(out2, target) * valid),
+                "dice1_sum": jnp.sum(d1 * valid),
+                "dice2_sum": jnp.sum(d2 * valid),
+                "count": jnp.sum(valid),
+            }
+            labels = jnp.argmax(outputs, axis=-1)
+            if outputs.shape[-1] == 2:
+                return totals, _encode(labels)
+            return totals, labels.astype(jnp.uint8)
+
+        row_totals, labels = jax.lax.map(one, (idx_mat, valid_mat))
+        totals = jax.tree_util.tree_map(
+            lambda x: jnp.sum(x, axis=0), row_totals
+        )
+        return totals, labels
+
+    return run
+
+
 def make_predict_all(model, two_modal: bool, dual: bool):
     """Whole-eval-set inference as ONE device program.
 

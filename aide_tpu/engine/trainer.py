@@ -47,7 +47,7 @@ from aide_tpu.data.tasks import build_task
 from aide_tpu.engine import checkpoint as ckpt
 from aide_tpu.engine import steps as steps_mod
 from aide_tpu.engine.state import DualTrainState, TrainState
-from aide_tpu.evaluation.case_eval import evaluate_cases
+from aide_tpu.evaluation.case_eval import evaluate_cases, start_case_evaluation
 from aide_tpu.models import build_model
 from aide_tpu.ops.schedules import make_optimizer, rate_schedule
 
@@ -102,6 +102,10 @@ class Trainer:
         # SELECTION is a discrete decision that must match across meshes
         # even where float label pixels may differ at the ulp level
         self.refresh_log: list = []
+        # end-of-ramp engagement verdict (coteach.engagement_check):
+        # {"crossnet_dice", "fg_ratio1", "fg_ratio2", "engaged"} once the
+        # warmup ramp completes, None before
+        self.engagement = None
 
         # ---- model + states ----
         if mesh is None:
@@ -269,6 +273,17 @@ class Trainer:
             if self.device_resident and self.mesh.devices.size == 1
             else None
         )
+        # fused test tail: batch eval metrics + test-case label maps from
+        # ONE device program (the test slices were otherwise forwarded
+        # twice per epoch — once for loss/dice, once for the case maps;
+        # both in eval mode, so the logits are identical). Dual only: the
+        # dual eval criterion is already per-image, so the ragged final
+        # batch masks exactly (engine/steps.make_eval_predict_all).
+        self.eval_predict_all = (
+            steps_mod.make_eval_predict_all(self.model, self.two_modal, cfg)
+            if self.dual and self.predict_all is not None
+            else None
+        )
 
         self.root_key = prng.root_key(cfg.seed)
         self.best_dice = 0.0
@@ -384,6 +399,76 @@ class Trainer:
             totals = self._accumulate(totals, m)
         return self._finalize(totals)
 
+    def _dispatch_fused_test(self, case_timing):
+        """Dispatch the fused test eval+predict program; returns a closure
+        yielding (test_metrics, testcase_results), or None when the fused
+        path does not apply (supervised states, sharded/host pipelines, or
+        a testcase list that does not cover the whole test pipe — the batch
+        eval metrics are computed from the same packed case stream, so
+        partial coverage would change their value)."""
+        if self.eval_predict_all is None:
+            return None
+        from aide_tpu.evaluation.case_eval import (
+            _postprocess_case,
+            _unpack_width_bits,
+            pack_case_stream,
+            score_case_volumes,
+        )
+
+        pipe = self.test_pipe
+        if pipe._device_data is None:
+            return None
+        eb = self.cfg.data.eval_batch_size
+        case_ids, counts, n, padded = pack_case_stream(
+            pipe, self.test_cases, eb
+        )
+        if n != len(pipe) or len(set(padded[:n].tolist())) != n:
+            return None
+        import time
+
+        t0 = time.perf_counter()
+        idx_mat = np.asarray(padded.reshape(-1, eb), np.int32)
+        valid = (
+            (np.arange(idx_mat.size) < n)
+            .astype(np.float32)
+            .reshape(idx_mat.shape)
+        )
+        pending = self.eval_predict_all(
+            self.state, pipe._device_data, idx_mat, valid
+        )
+        dispatch_t = time.perf_counter() - t0
+        keep_cc = self.cfg.eval.keep_largest_cc
+
+        def finish():
+            t1 = time.perf_counter()
+            totals, out = fetch(pending)  # one transfer for metrics + maps
+            case_timing["fetch"] = (
+                case_timing.get("fetch", 0.0)
+                + dispatch_t + time.perf_counter() - t1
+            )
+            t1 = time.perf_counter()
+            count = max(float(totals.pop("count")), 1.0)
+            test_m = {k: float(v) / count for k, v in totals.items()}
+            out = np.asarray(out)  # (N, 2, B, H, Wp)
+            preds = np.moveaxis(out, 1, 0).reshape(2, -1, *out.shape[3:])
+            preds = _unpack_width_bits(preds[:, :n], pipe.img_size)
+            volumes, offset = [], 0
+            for cnt in counts:
+                volumes.append(
+                    _postprocess_case(preds[:, offset : offset + cnt], keep_cc)
+                )
+                offset += cnt
+            case_timing["host"] = (
+                case_timing.get("host", 0.0) + time.perf_counter() - t1
+            )
+            testcase = score_case_volumes(
+                pipe, case_ids, volumes, dual=True, target_net=None,
+                timing=case_timing,
+            )
+            return test_m, testcase
+
+        return finish
+
     # ------------------------------ refresh ------------------------------
 
     def _refresh_labels(self, epoch: int, traincase_results) -> None:
@@ -435,6 +520,72 @@ class Trainer:
         return e1 <= self.cfg.coteach.warmup_epochs or (
             e1 % self.cfg.coteach.refresh_interval == 0
         )
+
+    # --------------------------- engagement ---------------------------
+
+    def _engagement_signals(self, traincase) -> Dict[str, float]:
+        """Run-time signals of whether the co-teaching refresh is engaging
+        (coteach.engagement_check): cross-net agreement Dice over the
+        train-case predictions and per-net predicted/working-label
+        foreground volume ratios. Cheap host counts over volumes the epoch
+        already produced — no extra device work."""
+        inter = 0
+        fg = [0, 0]
+        for r1, r2 in zip(traincase[0], traincase[1]):
+            v1 = r1.pred_volume > 0
+            v2 = r2.pred_volume > 0
+            inter += int(np.count_nonzero(v1 & v2))
+            fg[0] += int(np.count_nonzero(v1))
+            fg[1] += int(np.count_nonzero(v2))
+        denom = fg[0] + fg[1]
+        crossnet = 1.0 if denom == 0 else 2.0 * inter / denom
+        label_fg = [
+            max(int(np.count_nonzero(self.train_pipe.labels.get(n))), 1)
+            for n in (1, 2)
+        ]
+        return {
+            "crossnet_dice": crossnet,
+            "fg_ratio1": fg[0] / label_fg[0],
+            "fg_ratio2": fg[1] / label_fg[1],
+        }
+
+    def _engagement_verdict(self, eng: Dict[str, float]) -> bool:
+        """End-of-ramp verdict (epoch == coteach.warmup_epochs): True when
+        the run looks engaged. On failure, logs the documented ABSTAIN
+        recommendation — fall back to the pretrain/bootstrap weights — the
+        guardrail for the transfer cliff mapped in experiments/RESULTS.md
+        (below ~0.2 bootstrap label quality nothing engages and the
+        best-traincase-dice gate freezes against garbage labels)."""
+        ct = self.cfg.coteach
+        lo, hi = ct.engagement_fg_band
+        both_empty = eng["fg_ratio1"] < lo and eng["fg_ratio2"] < lo
+        ok = (
+            eng["crossnet_dice"] >= ct.engagement_min_agreement
+            and not both_empty
+            and lo <= eng["fg_ratio1"] <= hi
+            and lo <= eng["fg_ratio2"] <= hi
+        )
+        self.engagement = {**eng, "engaged": ok}
+        if ok:
+            self.logger.info(
+                "engagement check OK at end of ramp: cross-net agreement "
+                "%.3f, fg ratios %.2f/%.2f",
+                eng["crossnet_dice"], eng["fg_ratio1"], eng["fg_ratio2"],
+            )
+        else:
+            self.logger.warning(
+                "ENGAGEMENT CHECK FAILED at end of warmup ramp: cross-net "
+                "agreement %.3f (min %.3f), predicted/label foreground "
+                "ratios %.2f/%.2f (band %.2f-%.2f). The co-teaching refresh "
+                "is not engaging — typical causes: bootstrap working labels "
+                "below the ~0.2-quality cliff, or a collapsed net. "
+                "RECOMMENDATION: abstain — deploy the pretrain/bootstrap "
+                "weights instead of this run's checkpoints "
+                "(experiments/RESULTS.md, transfer ladder).",
+                eng["crossnet_dice"], ct.engagement_min_agreement,
+                eng["fg_ratio1"], eng["fg_ratio2"], lo, hi,
+            )
+        return ok
 
     # ---------------------------- checkpoint ----------------------------
 
@@ -534,26 +685,45 @@ class Trainer:
 
         train_m = self._train_epoch(epoch, rate)
         phases["time_train"] = time.time() - ts
-        test_m = self._test_epoch()
-        phases["time_test"] = time.time() - ts - sum(phases.values())
 
         # fetch/host split of the case phase (case_eval timing contract):
         # attributes time_cases drift to the tunnel link vs the 1-core host
         case_timing: Dict[str, float] = {}
-        testcase = evaluate_cases(
-            self.predict_step, self.state, self.test_pipe, self.test_cases,
-            cfg.data.eval_batch_size, dual=self.dual, target_net=None,
-            keep_largest_cc=cfg.eval.keep_largest_cc,
-            predict_all=self.predict_all, timing=case_timing,
-        )
-        traincase = evaluate_cases(
-            self.predict_step, self.state, self.train_pipe, self.train_cases,
-            cfg.data.eval_batch_size, dual=self.dual,
-            target_net="self" if self.dual else None,
-            keep_largest_cc=cfg.eval.keep_largest_cc,
-            keep_volumes=self.dual,
-            predict_all=self.predict_all, timing=case_timing,
-        )
+        fused_finish = self._dispatch_fused_test(case_timing)
+        if fused_finish is None:
+            test_m = self._test_epoch()
+            phases["time_test"] = time.time() - ts - sum(phases.values())
+            testcase = evaluate_cases(
+                self.predict_step, self.state, self.test_pipe,
+                self.test_cases, cfg.data.eval_batch_size, dual=self.dual,
+                target_net=None, keep_largest_cc=cfg.eval.keep_largest_cc,
+                predict_all=self.predict_all, timing=case_timing,
+            )
+            traincase = evaluate_cases(
+                self.predict_step, self.state, self.train_pipe,
+                self.train_cases, cfg.data.eval_batch_size, dual=self.dual,
+                target_net="self" if self.dual else None,
+                keep_largest_cc=cfg.eval.keep_largest_cc,
+                keep_volumes=self.dual,
+                predict_all=self.predict_all, timing=case_timing,
+            )
+        else:
+            # overlapped tail: the fused test program and ALL train-case
+            # re-inference chunks are dispatched before any fetch, so the
+            # device runs the whole tail back to back while the host
+            # fetches + post-processes results as they land (test-case CC
+            # and metrics run during the train-case device compute)
+            finish_train = start_case_evaluation(
+                self.predict_step, self.state, self.train_pipe,
+                self.train_cases, cfg.data.eval_batch_size, dual=self.dual,
+                target_net="self",
+                keep_largest_cc=cfg.eval.keep_largest_cc,
+                keep_volumes=True,
+                predict_all=self.predict_all, timing=case_timing,
+            )
+            test_m, testcase = fused_finish()
+            phases["time_test"] = time.time() - ts - sum(phases.values())
+            traincase = finish_train()
         phases["time_cases"] = time.time() - ts - sum(phases.values())
 
         case_means = {
@@ -583,6 +753,14 @@ class Trainer:
             **{f"test_{k}": v for k, v in test_m.items()},
             **case_means,
         }
+        if self.dual and cfg.coteach.engagement_check:
+            eng = self._engagement_signals(traincase)
+            # crossnet agreement rides the history (a "dice" key: the
+            # cross-placement equivalence gates bucket it with the other
+            # dice tolerances); fg ratios go to the ramp-end verdict log
+            row_metrics["crossnet_dice"] = eng["crossnet_dice"]
+            if epoch + 1 == cfg.coteach.warmup_epochs:
+                self._engagement_verdict(eng)
         self._maybe_checkpoint(epoch, avg_dice, test_m, epoch_row=row_metrics)
         phases["time_ckpt"] = time.time() - ts - sum(phases.values())
         if self.dual and self._is_refresh_epoch(epoch):

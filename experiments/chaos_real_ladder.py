@@ -79,14 +79,22 @@ def make_csvs(workdir: str):
     return train_out, val_out, tc, vc, lc
 
 
-def build_cfg(stage: str, workdir: str, epochs: int):
+def build_cfg(stage: str, workdir: str, epochs: int,
+              img_size: int = 256, base_width: int = 0, batch: int = 4,
+              resume: str = ""):
+    """``img_size``/``base_width``/``batch`` default to the flagship
+    operating point; the CPU smoke test shrinks them (real DICOM decode +
+    one tiny epoch) so the real-data path stays covered without a chip."""
     from aide_tpu.core.config import ModelConfig, TrainConfig
 
     train_csv, val_csv, tc, vc, lc = make_csvs(workdir)
     cfg = TrainConfig()
     # flagship trainchaos_proposed_30cases1labeled defaults: fuseunet, bs 4,
     # 256 px, Adam(amsgrad) 1e-4 + StepLR, warmup 20, consistency weight 10
-    cfg.model = ModelConfig(name="fuseunet", compute_dtype="bfloat16", packed=True)
+    cfg.model = ModelConfig(
+        name="fuseunet", compute_dtype="bfloat16", packed=True,
+        base_width=base_width,
+    )
     cfg.data.task = "chaos"
     cfg.data.variant = "proposed" if stage == "aide" else "comparison"
     cfg.data.root = REF_ROOT
@@ -103,12 +111,20 @@ def build_cfg(stage: str, workdir: str, epochs: int):
         # 2 train cases int(0.25*2)=0 would disable refresh entirely, so
         # cover the whole 1-case unlabeled pool (case 37 stays exempt)
         cfg.coteach.update_percent = 1.0
-    cfg.data.img_size = 256
+    cfg.data.img_size = img_size
     cfg.data.decode_cache_dir = os.path.join(workdir, "decode_cache")
-    cfg.data.batch_size = 4
-    cfg.data.eval_batch_size = 8
+    cfg.data.batch_size = batch
+    cfg.data.eval_batch_size = max(batch, 8)
     cfg.num_epochs = epochs
     cfg.repetition = 3
+    # optional warm start (the prostate transfer protocol,
+    # trainprostate_proposed_isbi3ttransferisbidx.py: dual nets seeded from
+    # the source-pretrained checkpoint + symmetry noise): on the aide rung
+    # this puts model skill NEAR the bootstrap label quality instead of
+    # starting from random init — the engagement condition the fresh-init
+    # flagship protocol cannot meet with a single refreshable case
+    if resume and stage == "aide":
+        cfg.resume_file = resume
     cfg.checkpoint_dir = os.path.join(workdir, f"ckpt_{stage}")
     cfg.history_dir = os.path.join(workdir, f"hist_{stage}")
     return cfg
@@ -139,10 +155,10 @@ def dice(a, b) -> float:
     return round(dice3d_np(a, b), 4)
 
 
-def run_stage(stage: str, workdir: str, epochs: int) -> dict:
+def run_stage(stage: str, workdir: str, epochs: int, **cfg_kw) -> dict:
     from aide_tpu.engine.trainer import Trainer
 
-    cfg = build_cfg(stage, workdir, epochs)
+    cfg = build_cfg(stage, workdir, epochs, **cfg_kw)
     t0 = time.time()
     trainer = Trainer(cfg)
     pipe = trainer.train_pipe
@@ -188,6 +204,12 @@ def run_stage(stage: str, workdir: str, epochs: int) -> dict:
         "epochs": epochs,
         "initial_pseudo_quality": initial_quality,
         **({"label_quality_track": quality_track} if stage == "aide" else {}),
+        # the oracle-free run-time engagement verdict (end of warmup ramp)
+        **(
+            {"engagement": trainer.engagement}
+            if stage == "aide" and trainer.engagement is not None
+            else {}
+        ),
         "final_case10_dice": max(
             last.get("testcase_dice1", 0.0), last.get("testcase_dice2", 0.0)
         ),

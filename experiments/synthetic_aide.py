@@ -330,6 +330,21 @@ def run(
     return {
         **({"final_label_quality": quality} if quality is not None else {}),
         **({"label_quality_track": quality_track} if trainer.dual else {}),
+        # the run-time (oracle-free) engagement verdict at the end of the
+        # warmup ramp — calibration data for the abstain guardrail
+        **(
+            {"engagement": trainer.engagement}
+            if trainer.dual and trainer.engagement is not None
+            else {}
+        ),
+        **(
+            {"crossnet_dice_track": [
+                {"epoch": r["epoch"], "crossnet_dice": round(r["crossnet_dice"], 4)}
+                for r in history if "crossnet_dice" in r
+            ]}
+            if trainer.dual
+            else {}
+        ),
         "stage": stage,
         "epochs": epochs,
         "final_testcase_dice": max(

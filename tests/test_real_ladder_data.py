@@ -48,3 +48,29 @@ def test_aide_cfg_refresh_alive(tmp_path):
     assert cfg.data.variant == "proposed"
     naive = L.build_cfg("naive", str(tmp_path), 4)
     assert naive.data.variant == "comparison"
+
+
+@needs_ref
+@pytest.mark.slow
+def test_real_dicom_proposed_smoke(tmp_path):
+    """The flagship dual-net co-teaching path END TO END on real shipped
+    DICOM (VERDICT r4 #4): one tiny epoch of the ladder's aide rung — real
+    DICOM decode, pseudo-label seeding, TTA co-teach steps, case eval,
+    refresh with the on-disk tempmask mirror — at a smoke-sized operating
+    point (64 px, base_width 4). The full-size chip run is
+    experiments/chaos_real_ladder.py / chaos_real_ladder_results.json."""
+    import chaos_real_ladder as L
+
+    res = L.run_stage(
+        "aide", str(tmp_path), epochs=1, img_size=64, base_width=4, batch=4
+    )
+    assert res["initial_pseudo_quality"] > 0.3  # shipped bootstrap ~0.48
+    assert 0.0 <= res["best_case10_dice"] <= 1.0
+    # warmup refresh ran and mirrored case 10's working labels to disk in
+    # the reference's tempmask convention, OUTSIDE the read-only tree
+    track = res["label_quality_track"]
+    assert track and 0.0 <= track[0]["label_quality"] <= 1.0
+    temp = os.path.join(str(tmp_path), "tempmask_aide")
+    assert os.path.isdir(temp)
+    names = os.listdir(os.path.join(temp, "10"))
+    assert any(n.endswith("_net1.png") for n in names)

@@ -160,7 +160,10 @@ class TestResume:
 class TestDeviceCache:
     def test_device_resident_matches_host_batches(self, tmp_path):
         """data.device_cache=on (HBM-resident dataset, on-device gather)
-        must reproduce the host-batch path's history exactly."""
+        must reproduce the host-batch path's history exactly. The fused
+        test tail is disabled on the resident trainer so this pins the
+        CACHE alone (the fused program is compared separately in
+        TestFusedTail, where float reassociation allows only tolerance)."""
         histories = {}
         for mode in ("off", "on"):
             cfg = small_cfg(tmp_path / mode, variant="proposed", num_epochs=2)
@@ -176,12 +179,80 @@ class TestDeviceCache:
             )
             tr = Trainer(cfg, task=task)
             assert tr.device_resident == (mode == "on")
+            tr.eval_predict_all = None
             histories[mode] = tr.run(2)
         for a, b in zip(histories["off"], histories["on"]):
             for k in a:
                 if k == "time" or k.startswith("time_"):
                     continue
                 assert np.isclose(a[k], b[k], rtol=0, atol=1e-6), (k, a[k], b[k])
+
+
+@pytest.mark.slow
+class TestFusedTail:
+    def test_fused_tail_matches_legacy(self, tmp_path):
+        """The fused epoch tail (one eval+predict program for the test set,
+        overlapped/chunked train-case re-inference) must reproduce the
+        legacy three-pass tail: same refresh decisions and working labels,
+        history metrics equal up to float reassociation."""
+        histories, labels, logs = {}, {}, {}
+        for mode in ("fused", "legacy"):
+            cfg = small_cfg(tmp_path / mode, variant="proposed", num_epochs=2)
+            # the fused tail is a single-device path (predict_all gating);
+            # the virtual 8-device test mesh would disable it
+            cfg.mesh.num_devices = 1
+            # 6 cases x 6 slices = 36 train slices -> 9 eval-batch-4 index
+            # rows, enough that the chunked train-case path actually splits
+            # (rows // 4 >= 2); the test set keeps a ragged final batch
+            cfg.data.eval_batch_size = 4
+            task = SyntheticTask(
+                root=str(tmp_path / mode / "synth"),
+                tempmask_folder="tempmasks",
+                num_cases=6,
+                slices_per_case=6,
+                num_test_cases=3,  # 18 test slices: 18 % 4 -> ragged batch
+                size=32,
+                noisy_fraction=0.5,
+                seed=3,
+            )
+            tr = Trainer(cfg, task=task)
+            if mode == "legacy":
+                tr.eval_predict_all = None
+            else:
+                assert tr.eval_predict_all is not None
+                assert tr._dispatch_fused_test({}) is not None
+            histories[mode] = tr.run(2)
+            labels[mode] = {n: tr.train_pipe.labels.get(n).copy() for n in (1, 2)}
+            logs[mode] = list(tr.refresh_log)
+        assert logs["fused"] == logs["legacy"]
+        for n in (1, 2):
+            np.testing.assert_array_equal(labels["fused"][n], labels["legacy"][n])
+        for a, b in zip(histories["legacy"], histories["fused"]):
+            assert set(a) == set(b)
+            for k in a:
+                if k == "time" or k.startswith("time_"):
+                    continue
+                np.testing.assert_allclose(
+                    b[k], a[k], rtol=1e-4, atol=1e-5, err_msg=k
+                )
+
+    def test_fused_tail_declines_partial_case_coverage(self, tmp_path):
+        """A testcase list not covering the whole test pipe must fall back
+        (the fused program derives the batch eval metrics from the packed
+        case stream, so partial coverage would change their value)."""
+        cfg = small_cfg(tmp_path, variant="proposed")
+        cfg.mesh.num_devices = 1
+        task = SyntheticTask(
+            root=str(tmp_path / "synth"), tempmask_folder="tempmasks",
+            num_cases=4, slices_per_case=4, size=32, noisy_fraction=0.5,
+            seed=3,
+        )
+        tr = Trainer(cfg, task=task)
+        assert tr._dispatch_fused_test({}) is not None
+        tr.test_cases = tr.test_cases[:1]
+        assert tr._dispatch_fused_test({}) is None
+        row = tr.run_epoch(0)  # legacy fallback still works end to end
+        assert np.isfinite(row["test_loss1"])
 
 
 @pytest.mark.slow
@@ -276,6 +347,59 @@ def test_comparison_meta_history_includes_best_epoch(tmp_path):
     assert hist, "embedded history must not be empty"
     assert hist[-1]["epoch"] == meta["epoch"]
     assert "test_loss" in hist[-1] or "test_loss1" in hist[-1]
+
+
+class TestEngagementGuardrail:
+    def _traincase(self, tr, vol1, vol2):
+        from aide_tpu.evaluation.case_eval import CaseResult
+
+        return {
+            0: [CaseResult("c0", 0.5, pred_volume=vol1)],
+            1: [CaseResult("c0", 0.5, pred_volume=vol2)],
+        }
+
+    def test_engaged_when_nets_agree_at_label_scale(self, tmp_path):
+        tr = make_trainer(tmp_path)
+        lab_fg = int(np.count_nonzero(tr.train_pipe.labels.get(1)))
+        v = np.zeros((4, 32, 32), np.uint8)
+        v.reshape(-1)[:lab_fg] = 1  # same fg volume as the labels
+        eng = tr._engagement_signals(self._traincase(tr, v, v.copy()))
+        assert eng["crossnet_dice"] == 1.0
+        assert tr._engagement_verdict(eng)
+        assert tr.engagement["engaged"]
+
+    def test_abstain_on_collapsed_predictions(self, tmp_path):
+        """Near-empty predictions over nonempty labels (the a->b transfer
+        control regime) must fail the check even though two collapsed nets
+        trivially agree (empty-vs-empty dice = 1)."""
+        tr = make_trainer(tmp_path)
+        z = np.zeros((4, 32, 32), np.uint8)
+        eng = tr._engagement_signals(self._traincase(tr, z, z.copy()))
+        assert eng["crossnet_dice"] == 1.0  # degenerate agreement
+        assert eng["fg_ratio1"] == 0.0
+        assert not tr._engagement_verdict(eng)
+        assert not tr.engagement["engaged"]
+
+    def test_abstain_on_disagreeing_nets(self, tmp_path):
+        tr = make_trainer(tmp_path)
+        lab_fg = int(np.count_nonzero(tr.train_pipe.labels.get(1)))
+        v1 = np.zeros((4, 32, 32), np.uint8)
+        v2 = np.zeros((4, 32, 32), np.uint8)
+        v1.reshape(-1)[:lab_fg] = 1
+        v2.reshape(-1)[lab_fg : 2 * lab_fg] = 1  # disjoint foregrounds
+        eng = tr._engagement_signals(self._traincase(tr, v1, v2))
+        assert eng["crossnet_dice"] == 0.0
+        assert not tr._engagement_verdict(eng)
+
+    @pytest.mark.slow
+    def test_verdict_fires_at_end_of_ramp(self, tmp_path):
+        """run() emits the verdict at epoch == warmup_epochs and the
+        history carries the cross-net agreement signal every epoch."""
+        tr = make_trainer(tmp_path)  # warmup_epochs=2
+        history = tr.run(2)
+        assert tr.engagement is not None
+        assert "engaged" in tr.engagement
+        assert all("crossnet_dice" in row for row in history)
 
 
 def test_on_refresh_hook_fires_after_sync(tmp_path):
