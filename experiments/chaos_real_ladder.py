@@ -158,6 +158,7 @@ def dice(a, b) -> float:
 def run_stage(stage: str, workdir: str, epochs: int, **cfg_kw) -> dict:
     from aide_tpu.engine.trainer import Trainer
 
+    warm = bool(cfg_kw.get("resume"))
     cfg = build_cfg(stage, workdir, epochs, **cfg_kw)
     t0 = time.time()
     trainer = Trainer(cfg)
@@ -201,6 +202,7 @@ def run_stage(stage: str, workdir: str, epochs: int, **cfg_kw) -> dict:
     last = history[-1]
     return {
         "stage": stage,
+        "warm_start": warm,
         "epochs": epochs,
         "initial_pseudo_quality": initial_quality,
         **({"label_quality_track": quality_track} if stage == "aide" else {}),
@@ -225,12 +227,17 @@ def main() -> int:
     ap.add_argument("--stage", default="both", choices=("naive", "aide", "both"))
     ap.add_argument("--workdir", default="/tmp/chaos_real_ladder")
     ap.add_argument("--out", default="")
+    ap.add_argument("--resume", default="",
+                    help="warm-start the aide rung's dual nets from this "
+                         "checkpoint (prostate transfer protocol)")
     args = ap.parse_args()
 
     stages = ("naive", "aide") if args.stage == "both" else (args.stage,)
     results = {"golden": GOLDEN, "pretrain_rung": "chaos_real_1case_r2.json (0.636 best)"}
     for stage in stages:
-        results[stage] = run_stage(stage, args.workdir, args.epochs)
+        results[stage] = run_stage(
+            stage, args.workdir, args.epochs, resume=args.resume
+        )
         print(json.dumps(results[stage]), flush=True)
     if "naive" in results and "aide" in results:
         results["aide_over_naive"] = round(
