@@ -106,6 +106,7 @@ class Trainer:
         # {"crossnet_dice", "fg_ratio1", "fg_ratio2", "engaged"} once the
         # warmup ramp completes, None before
         self.engagement = None
+        self._label_fg_cache = None  # per-net label fg totals (see signals)
 
         # ---- model + states ----
         if mesh is None:
@@ -510,6 +511,7 @@ class Trainer:
                 )
         # refreshed labels live on host; mirror them back into device HBM
         self.train_pipe.sync_labels_to_device()
+        self._label_fg_cache = None  # label fg totals changed
         if self.on_refresh is not None:
             # observation hook (label-quality oracles in experiments/) —
             # runs after the refresh is fully applied and synced
@@ -539,10 +541,15 @@ class Trainer:
             fg[1] += int(np.count_nonzero(v2))
         denom = fg[0] + fg[1]
         crossnet = 1.0 if denom == 0 else 2.0 * inter / denom
-        label_fg = [
-            max(int(np.count_nonzero(self.train_pipe.labels.get(n))), 1)
-            for n in (1, 2)
-        ]
+        if self._label_fg_cache is None:
+            # label foreground totals change only at refresh (which clears
+            # this cache) — recounting every epoch would re-traverse both
+            # full label arrays on the 1-core host
+            self._label_fg_cache = [
+                max(int(np.count_nonzero(self.train_pipe.labels.get(n))), 1)
+                for n in (1, 2)
+            ]
+        label_fg = self._label_fg_cache
         return {
             "crossnet_dice": crossnet,
             "fg_ratio1": fg[0] / label_fg[0],

@@ -28,35 +28,37 @@ from aide_tpu.ops.cc import keep_largest_connected_components
 def dice3d_np(pred: np.ndarray, target: np.ndarray) -> float:
     """Host-side whole-volume Dice (foreground > 0; empty union = 1.0) —
     THE convention the golden-parity tests pin. Exported so experiment
-    harnesses score with the same metric instead of re-deriving it."""
-    p = pred.reshape(-1) > 0
-    t = target.reshape(-1) > 0
-    union = float(p.sum()) + float(t.sum())
+    harnesses score with the same metric instead of re-deriving it.
+    count_nonzero throughout: these run once per case per net per epoch on
+    the 1-core host, inside the epoch tail's critical path."""
+    p = pred > 0
+    t = target > 0
+    union = np.count_nonzero(p) + np.count_nonzero(t)
     if union == 0:
         return 1.0
-    return 2.0 * float(np.sum(p & t)) / union
+    return 2.0 * np.count_nonzero(p & t) / union
 
 
 _dice3d_np = dice3d_np  # internal alias (pre-export call sites)
 
 
 def _iou3d_np(pred: np.ndarray, target: np.ndarray) -> float:
-    p = pred.reshape(-1) > 0
-    t = target.reshape(-1) > 0
-    inter = float(np.sum(p & t))
-    union = float(p.sum()) + float(t.sum()) - inter
+    p = pred > 0
+    t = target > 0
+    inter = np.count_nonzero(p & t)
+    union = np.count_nonzero(p) + np.count_nonzero(t) - inter
     if union == 0:
         return 1.0
     return inter / union
 
 
 def _tp_tn_fp_fn_3d_np(pred: np.ndarray, target: np.ndarray):
-    p = pred.reshape(-1) > 0
-    t = target.reshape(-1) > 0
-    tp = float(np.sum(p & t))
-    tn = float(np.sum(~p & ~t))
-    fp = float(np.sum(p & ~t))
-    fn = float(np.sum(~p & t))
+    p = pred > 0
+    t = target > 0
+    tp = float(np.count_nonzero(p & t))
+    fp = float(np.count_nonzero(p) - tp)
+    fn = float(np.count_nonzero(t) - tp)
+    tn = float(p.size - tp - fp - fn)
     return tp, tn, fp, fn
 
 
