@@ -166,17 +166,21 @@ class CoteachConfig:
     # kidney trainers' explicit net.eval() (trainkidney_proposed_mask1.py:267).
     tta_bn: str = "batch"
     # run-time engagement guardrail (no analogue in the reference — it has
-    # no defense against the transfer cliff its own protocol can hit): each
-    # epoch the trainer logs the cross-net prediction agreement and the
-    # predicted-vs-working-label foreground ratio, and at the END of the
-    # consistency ramp (warmup_epochs) emits a verdict. When agreement or
-    # foreground volume is out of band the refresh loop is not engaging
-    # (bootstrap labels below the ~0.2-quality cliff, or a collapsed net) —
-    # the logged recommendation is to ABSTAIN: deploy the pretrain/bootstrap
-    # weights rather than this run's checkpoints. Thresholds calibrated on
-    # the synthetic transfer ladder (experiments/RESULTS.md: the a->b
-    # control and the a->m seed-23 transition-zone draw fail the check; all
-    # clearly-positive directions pass).
+    # no defense against the transfer cliff its own protocol can hit).
+    # Three oracle-free layers:
+    #   1. structural label half-life check at the FIRST refresh
+    #      (refreshable cases / rewrites per epoch >= ~3, else the bootstrap
+    #      labels are destroyed before the nets can learn them — the
+    #      shipped 2-case real-DICOM setup fails this);
+    #   2. per-epoch cross-net prediction agreement in the history
+    #      (crossnet_dice);
+    #   3. an end-of-ramp (warmup_epochs) verdict: agreement plus the
+    #      predicted-vs-BOOTSTRAP-label foreground ratio band (current
+    #      labels are self-referential once refresh rewrites them), plus a
+    #      logged bootstrap-retention figure.
+    # On failure the logged recommendation is to ABSTAIN: deploy the
+    # pretrain/bootstrap weights rather than this run's checkpoints
+    # (experiments/RESULTS.md, transfer cliff analysis).
     engagement_check: bool = True
     engagement_min_agreement: float = 0.5
     engagement_fg_band: Tuple[float, float] = (0.2, 5.0)

@@ -107,6 +107,16 @@ class Trainer:
         # warmup ramp completes, None before
         self.engagement = None
         self._label_fg_cache = None  # per-net label fg totals (see signals)
+        # bootstrap working-label snapshot, taken at the FIRST refresh
+        # (callers may seed working labels after construction, e.g. the
+        # real-data ladder's pseudo seeding): the reference point for the
+        # retention/fg engagement signals — signals measured against the
+        # CURRENT labels are self-referential once refresh has rewritten
+        # them to the nets' own predictions (measured: a fully collapsed
+        # fresh-init real-data run scored crossnet 0.95 / fg_ratio 1.25
+        # against its own rewritten labels)
+        self._bootstrap_labels = None
+        self._structural_warned = False
 
         # ---- model + states ----
         if mesh is None:
@@ -477,6 +487,12 @@ class Trainer:
         (:528-575)."""
         cfg = self.cfg
         k = int(cfg.coteach.update_percent * len(self.train_cases))
+        if cfg.coteach.engagement_check and self._bootstrap_labels is None:
+            # snapshot the pre-refresh (bootstrap) labels + structural check
+            self._bootstrap_labels = {
+                n: self.train_pipe.labels.get(n).copy() for n in (1, 2)
+            }
+            self._structural_refresh_check(k)
         for net_idx in range(2):
             results = traincase_results[net_idx]
             order = np.argsort([r.dice for r in results])
@@ -511,7 +527,6 @@ class Trainer:
                 )
         # refreshed labels live on host; mirror them back into device HBM
         self.train_pipe.sync_labels_to_device()
-        self._label_fg_cache = None  # label fg totals changed
         if self.on_refresh is not None:
             # observation hook (label-quality oracles in experiments/) —
             # runs after the refresh is fully applied and synced
@@ -524,6 +539,39 @@ class Trainer:
         )
 
     # --------------------------- engagement ---------------------------
+
+    def _structural_refresh_check(self, k: int) -> bool:
+        """Label half-life check, run once at the first refresh: with
+        ``n_refreshable`` rewritable cases and the worst ``k`` rewritten
+        per warmup epoch, a case's bootstrap labels survive on average
+        ``n_refreshable / k`` epochs. When that half-life is under ~3 the
+        bootstrap label information is destroyed before the nets can learn
+        it — fresh-init co-teaching then trains on its own early noise
+        (measured on the shipped 2-case real-DICOM setup: labels 0.479 ->
+        0.23 at the FIRST refresh, 0.12 by ramp end). The reference's
+        flagship has n/k = 30/7 ~ 4.3; transfer ladders 24/7 ~ 3.4.
+        Mitigations logged: more unlabeled cases, smaller update_percent /
+        larger refresh_interval, or a pretrain warm start so model skill
+        starts at the labels' level."""
+        n_refreshable = sum(
+            1 for c in self.train_cases if str(c) not in self.label_cases
+        )
+        half_life = n_refreshable / max(k, 1)
+        ok = half_life >= 3.0 or k == 0
+        if not ok and not self._structural_warned:
+            self._structural_warned = True
+            self.logger.warning(
+                "STRUCTURAL REFRESH CHECK FAILED: %d refreshable cases with "
+                "worst-%d rewritten per refresh epoch — label half-life "
+                "%.1f epochs (< 3). Bootstrap label information will not "
+                "survive the warmup ramp; fresh-init co-teaching degrades "
+                "into self-training on early noise. Mitigate with more "
+                "unlabeled cases, a smaller coteach.update_percent, a "
+                "larger refresh_interval, or a pretrain warm start "
+                "(resume_file).",
+                n_refreshable, k, half_life,
+            )
+        return ok
 
     def _engagement_signals(self, traincase) -> Dict[str, float]:
         """Run-time signals of whether the co-teaching refresh is engaging
@@ -542,12 +590,17 @@ class Trainer:
         denom = fg[0] + fg[1]
         crossnet = 1.0 if denom == 0 else 2.0 * inter / denom
         if self._label_fg_cache is None:
-            # label foreground totals change only at refresh (which clears
-            # this cache) — recounting every epoch would re-traverse both
-            # full label arrays on the 1-core host
+            # foreground reference: the BOOTSTRAP labels once snapshotted
+            # (refresh rewrites the current labels to the nets' own
+            # predictions, making a current-label ratio self-referentially
+            # ~1 even in a collapsed run); before any refresh the current
+            # labels ARE the bootstrap. Counted once — full-array
+            # traversals are expensive on the 1-core host.
+            src = self._bootstrap_labels or {
+                n: self.train_pipe.labels.get(n) for n in (1, 2)
+            }
             self._label_fg_cache = [
-                max(int(np.count_nonzero(self.train_pipe.labels.get(n))), 1)
-                for n in (1, 2)
+                max(int(np.count_nonzero(src[n])), 1) for n in (1, 2)
             ]
         label_fg = self._label_fg_cache
         return {
@@ -565,14 +618,37 @@ class Trainer:
         best-traincase-dice gate freezes against garbage labels)."""
         ct = self.cfg.coteach
         lo, hi = ct.engagement_fg_band
-        both_empty = eng["fg_ratio1"] < lo and eng["fg_ratio2"] < lo
         ok = (
             eng["crossnet_dice"] >= ct.engagement_min_agreement
-            and not both_empty
             and lo <= eng["fg_ratio1"] <= hi
             and lo <= eng["fg_ratio2"] <= hi
         )
-        self.engagement = {**eng, "engaged": ok}
+        # bootstrap retention: how much of the seeded label information the
+        # refresh loop preserved (Dice of current vs bootstrap labels). Not
+        # thresholded — healthy refinement can legitimately move far from a
+        # bad bootstrap — but logged for the practitioner and recorded in
+        # the verdict (the collapsed real-data run retains ~0.2; healthy
+        # synthetic transfer runs 0.4-0.9).
+        if self._bootstrap_labels is not None:
+            from aide_tpu.evaluation.case_eval import dice3d_np
+
+            eng = dict(
+                eng,
+                bootstrap_retention1=dice3d_np(
+                    self.train_pipe.labels.get(1), self._bootstrap_labels[1]
+                ),
+                bootstrap_retention2=dice3d_np(
+                    self.train_pipe.labels.get(2), self._bootstrap_labels[2]
+                ),
+            )
+        if self._structural_warned:
+            # the half-life check failed at the first refresh: bootstrap
+            # information cannot have survived the ramp regardless of how
+            # self-consistent the nets now look
+            ok = False
+        self.engagement = {
+            **eng, "engaged": ok, "structural_ok": not self._structural_warned,
+        }
         if ok:
             self.logger.info(
                 "engagement check OK at end of ramp: cross-net agreement "
@@ -582,15 +658,18 @@ class Trainer:
         else:
             self.logger.warning(
                 "ENGAGEMENT CHECK FAILED at end of warmup ramp: cross-net "
-                "agreement %.3f (min %.3f), predicted/label foreground "
-                "ratios %.2f/%.2f (band %.2f-%.2f). The co-teaching refresh "
-                "is not engaging — typical causes: bootstrap working labels "
-                "below the ~0.2-quality cliff, or a collapsed net. "
-                "RECOMMENDATION: abstain — deploy the pretrain/bootstrap "
-                "weights instead of this run's checkpoints "
-                "(experiments/RESULTS.md, transfer ladder).",
+                "agreement %.3f (min %.3f), predicted-vs-bootstrap-label "
+                "foreground ratios %.2f/%.2f (band %.2f-%.2f), structural "
+                "half-life check %s. The co-teaching refresh is not "
+                "engaging — typical causes: bootstrap working labels below "
+                "the ~0.2-quality cliff, a collapsed net, or too few "
+                "refreshable cases per rewrite. RECOMMENDATION: abstain — "
+                "deploy the pretrain/bootstrap weights instead of this "
+                "run's checkpoints (experiments/RESULTS.md, transfer "
+                "ladder).",
                 eng["crossnet_dice"], ct.engagement_min_agreement,
                 eng["fg_ratio1"], eng["fg_ratio2"], lo, hi,
+                "failed" if self._structural_warned else "passed",
             )
         return ok
 

@@ -391,6 +391,37 @@ class TestEngagementGuardrail:
         assert eng["crossnet_dice"] == 0.0
         assert not tr._engagement_verdict(eng)
 
+    def test_structural_half_life_check(self, tmp_path):
+        """Label half-life = refreshable cases / rewrites per epoch: the
+        shipped 2-case real setup (1 refreshable, 1 rewrite/epoch) must
+        fail; the reference's flagship geometry (30/7) must pass."""
+        tr = make_trainer(tmp_path)  # 4 cases, none labeled
+        assert tr._structural_refresh_check(k=1)  # half-life 4
+        assert not tr._structural_warned
+        assert not tr._structural_refresh_check(k=4)  # half-life 1
+        assert tr._structural_warned
+        # a failed structural check forces the ramp-end verdict to abstain
+        # even when the (self-referential) signals look healthy
+        lab_fg = int(np.count_nonzero(tr.train_pipe.labels.get(1)))
+        v = np.zeros((4, 32, 32), np.uint8)
+        v.reshape(-1)[:lab_fg] = 1
+        eng = tr._engagement_signals(self._traincase(tr, v, v.copy()))
+        assert not tr._engagement_verdict(eng)
+        assert tr.engagement["structural_ok"] is False
+
+    @pytest.mark.slow
+    def test_bootstrap_snapshot_taken_at_first_refresh(self, tmp_path):
+        """The fg-ratio / retention reference is the PRE-first-refresh
+        labels, so post-hoc self-agreement cannot mask a collapse."""
+        tr = make_trainer(tmp_path, noisy=1.0)
+        seeded = tr.train_pipe.labels.get(1).copy()
+        tr.run(1)  # warmup epoch 0 refreshes
+        assert tr._bootstrap_labels is not None
+        np.testing.assert_array_equal(tr._bootstrap_labels[1], seeded)
+        assert not np.array_equal(
+            tr.train_pipe.labels.get(1), seeded
+        )  # labels moved, snapshot did not
+
     @pytest.mark.slow
     def test_verdict_fires_at_end_of_ramp(self, tmp_path):
         """run() emits the verdict at epoch == warmup_epochs and the
