@@ -408,7 +408,16 @@ class _PackedBatchNorm(nn.Module):
         if train:
             mean = jnp.sum(xm, axis=axes, dtype=sdt) / count
             s2 = jnp.sum(jnp.square(xm.astype(sdt)), axis=axes)
-            var = s2 / count - jnp.square(mean)
+            # E[x^2] - E[x]^2 cancels catastrophically on near-constant
+            # channels with a large mean (real MRI backgrounds): in float32
+            # the difference can come out BELOW -eps, and rsqrt(var + eps)
+            # then yields NaN — measured on the chip as an instant
+            # first-step NaN of the supervised bf16 packed step on real
+            # CHAOS data (experiments/naive_nan_probe.py: bf16_packed NaN
+            # at step 1; bf16_plain and f32_packed clean). Variance is
+            # mathematically nonnegative; the clamp removes only rounding
+            # error.
+            var = jnp.maximum(s2 / count - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean
                 ra_var.value = 0.9 * ra_var.value + 0.1 * var
@@ -444,7 +453,10 @@ class _PackedGroupNorm(nn.Module):
         sdt = jnp.promote_types(x5.dtype, jnp.float32)
         mean = jnp.sum(xg, axis=axes, dtype=sdt) / n                # (b, g)
         s2 = jnp.sum(jnp.square(xg.astype(sdt)), axis=axes)
-        var = s2 / n - jnp.square(mean)
+        # clamp: E[x^2]-E[x]^2 cancellation can go below -eps on
+        # near-constant groups (see _PackedBatchNorm; eps here is 1e-6,
+        # even tighter)
+        var = jnp.maximum(s2 / n - jnp.square(mean), 0.0)
         mul = jax.lax.rsqrt(var + 1e-6)                             # (b, g)
         mulc = jnp.repeat(mul, c // g, axis=1) * scale              # (b, c)
         addc = bias - jnp.repeat(mean * mul, c // g, axis=1) * scale

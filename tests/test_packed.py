@@ -316,3 +316,46 @@ def test_fused_upsample_conv_exact(rng):
         )(k)
         np.testing.assert_allclose(np.asarray(gr), np.asarray(gg),
                                    atol=2e-3, rtol=2e-3)
+
+
+@pytest.mark.parametrize("norm", ["batch", "group"])
+def test_norm_stats_never_nan_on_constant_channels(norm):
+    """Variance via E[x^2] - E[x]^2 cancels catastrophically on
+    near-constant channels with a large mean (real MRI backgrounds): in
+    float32 the difference can land BELOW -eps and rsqrt(var + eps) goes
+    NaN — measured on the chip as a first-step NaN of the supervised bf16
+    packed step on real CHAOS data (experiments/naive_nan_probe.py:
+    bf16_packed NaN at step 1, bf16_plain / f32_packed clean). The clamp
+    to >= 0 must keep output AND gradients finite for constant inputs of
+    any magnitude (e.g. 57.705 over 4096 elements yields var ~ -1.5e-3
+    without it)."""
+    from aide_tpu.models.packed import PackedNorm
+
+    mod = PackedNorm(kind=norm, groups=8, features=4, dtype=jnp.float32)
+    mask = jnp.ones((1, 16, 16, 1, 4), jnp.float32)
+    count = jnp.asarray(2 * 16 * 16 * 4, jnp.float32)
+
+    noise = np.random.default_rng(0).normal(size=(2, 16, 16, 4, 4)) * 1e-3
+
+    def run(const):
+        # NEAR-constant (not exactly constant: XLA folds a constant input
+        # reduction exactly): on CPU the unclamped formula measures var as
+        # low as -0.2 for these inputs, far below -eps
+        x5 = jnp.asarray(const + noise, jnp.float32)
+        v = mod.init(jax.random.key(0), x5, mask, count, True)
+
+        def loss(params):
+            y = mod.apply(
+                {"params": params, **{k: v[k] for k in v if k != "params"}},
+                x5, mask, count, True,
+                mutable=["batch_stats"] if norm == "batch" else False,
+            )
+            y = y[0] if isinstance(y, tuple) else y
+            return jnp.sum(y * y)
+
+        val, grads = jax.value_and_grad(loss)(v["params"])
+        leaves = [val] + jax.tree_util.tree_leaves(grads)
+        return all(bool(jnp.isfinite(l).all()) for l in leaves)
+
+    for const in (54.523, 59.045, 107.3, 255.0, 1.0, 0.0):
+        assert run(const), f"non-finite norm output/grads at constant {const}"
