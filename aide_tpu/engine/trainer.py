@@ -47,7 +47,7 @@ from aide_tpu.data.tasks import build_task
 from aide_tpu.engine import checkpoint as ckpt
 from aide_tpu.engine import steps as steps_mod
 from aide_tpu.engine.state import DualTrainState, TrainState
-from aide_tpu.evaluation.case_eval import evaluate_cases, start_case_evaluation
+from aide_tpu.evaluation.case_eval import start_case_evaluation
 from aide_tpu.models import build_model
 from aide_tpu.ops.schedules import make_optimizer, rate_schedule
 
@@ -779,13 +779,16 @@ class Trainer:
         if fused_finish is None:
             test_m = self._test_epoch()
             phases["time_test"] = time.time() - ts - sum(phases.values())
-            testcase = evaluate_cases(
+            # both case-eval inference passes dispatch before either fetch:
+            # the host post-processing of the test cases overlaps the
+            # train-case device compute (same overlap the fused branch gets)
+            finish_testcase = start_case_evaluation(
                 self.predict_step, self.state, self.test_pipe,
                 self.test_cases, cfg.data.eval_batch_size, dual=self.dual,
                 target_net=None, keep_largest_cc=cfg.eval.keep_largest_cc,
                 predict_all=self.predict_all, timing=case_timing,
             )
-            traincase = evaluate_cases(
+            finish_traincase = start_case_evaluation(
                 self.predict_step, self.state, self.train_pipe,
                 self.train_cases, cfg.data.eval_batch_size, dual=self.dual,
                 target_net="self" if self.dual else None,
@@ -793,6 +796,8 @@ class Trainer:
                 keep_volumes=self.dual,
                 predict_all=self.predict_all, timing=case_timing,
             )
+            testcase = finish_testcase()
+            traincase = finish_traincase()
         else:
             # overlapped tail: the fused test program and ALL train-case
             # re-inference chunks are dispatched before any fetch, so the
