@@ -74,7 +74,8 @@ TASK_POINTS = {
 }
 
 
-def make_config(batch: int, variant: str = "proposed", task: str = "chaos"):
+def make_config(batch: int, variant: str = "proposed", task: str = "chaos",
+                eval_batch: int = 0):
     from aide_tpu.core.config import ModelConfig, TrainConfig
 
     pt = TASK_POINTS[task]
@@ -89,7 +90,7 @@ def make_config(batch: int, variant: str = "proposed", task: str = "chaos"):
     cfg.data.batch_size = batch
     # big eval batches: fewer dispatches over the tunneled link during the
     # per-case re-inference passes (each dispatch costs tens of ms)
-    cfg.data.eval_batch_size = max(batch, 32)
+    cfg.data.eval_batch_size = eval_batch or max(batch, 32)
     cfg.data.num_tta_views = 4
     cfg.data.rotation_degree = 60.0
     cfg.coteach.warmup_epochs = 20
@@ -379,6 +380,8 @@ def eval_volume_bench(trainer, cfg, args) -> int:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--eval-batch", type=int, default=0,
+                    help="eval/predict batch size (0 = max(batch, 32))")
     ap.add_argument("--task", default="chaos", choices=sorted(TASK_POINTS),
                     help="operating point (model/resolution/dataset size)")
     ap.add_argument("--supervised", action="store_true",
@@ -451,7 +454,7 @@ def main() -> int:
         return 1
 
     variant = "comparison" if args.supervised else "proposed"
-    cfg = make_config(args.batch, variant, args.task)
+    cfg = make_config(args.batch, variant, args.task, args.eval_batch)
     log(f"building trainer ({args.task} point, decode on 1 host core)...")
     trainer = build_trainer(cfg, args.task)
     trainer._bench_task = args.task  # for the plain-flops subprocess probe
