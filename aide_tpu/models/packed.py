@@ -204,6 +204,16 @@ def struct_conv(
 # layouts where the resize's extra HBM round-trip dominates.
 FUSE_UPSAMPLE = False
 
+# Fence the packed block outputs with jax.lax.optimization_barrier. A
+# fusion-context miscompile workaround knob: the supervised packed bf16
+# step NaN'd modal2_block1's ENTIRE gradient on real-CHAOS batches at
+# batch 4 on the chip, while the mathematically identical computation is
+# clean in isolation, on CPU, in f32, in the plain layout, and at batch 8
+# (experiments/naive_nan_probe{,2,3}.py) — the signature of an XLA fusion
+# bug, not numerics. The barrier stops backward fusions from crossing the
+# block boundary.
+BLOCK_BARRIER = False
+
 
 @lru_cache(maxsize=None)
 def _up_tap_table() -> np.ndarray:
@@ -538,6 +548,8 @@ class PackedConvBlock(nn.Module):
             y, k2, b2, (2, 2), (2, 2), (-1, -1), (0, 0), (hb, wb), self.dtype
         )
         y = norm_relu_mask(y, "Norm_1", masked=False)
+        if BLOCK_BARRIER:
+            y = jax.lax.optimization_barrier(y)
         return y
 
 
