@@ -55,6 +55,13 @@ class ModelConfig:
     # widths (needs H, W divisible by 16 and resize+conv upsampling);
     # attention variants (unetsa/.../fuseunet_sa*) ignore it.
     packed: bool = False
+    # fence each packed conv block's output with optimization_barrier:
+    # workaround for an XLA TPU backward-fusion miscompile that NaN'd a
+    # packed block's entire gradient on real-CHAOS bf16 batches (clean in
+    # isolation / on CPU / in f32 / plain layout — models/packed.py
+    # BLOCK_BARRIER comment, experiments/naive_nan_probe4.py). Identity
+    # math; only compiler fusion scope changes.
+    packed_block_barrier: bool = False
 
 
 @dataclass

@@ -129,6 +129,7 @@ def _register():
                     group_norm_groups=cfg.group_norm_groups,
                     compute_dtype=cfg.compute_dtype,
                     remat=cfg.remat,
+                    block_barrier=getattr(cfg, "packed_block_barrier", False),
                 )
             return FuseUNet(
                 num_classes=cfg.num_classes,

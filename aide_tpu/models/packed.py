@@ -205,13 +205,16 @@ def struct_conv(
 FUSE_UPSAMPLE = False
 
 # Fence the packed block outputs with jax.lax.optimization_barrier. A
-# fusion-context miscompile workaround knob: the supervised packed bf16
-# step NaN'd modal2_block1's ENTIRE gradient on real-CHAOS batches at
-# batch 4 on the chip, while the mathematically identical computation is
-# clean in isolation, on CPU, in f32, in the plain layout, and at batch 8
-# (experiments/naive_nan_probe{,2,3}.py) — the signature of an XLA fusion
-# bug, not numerics. The barrier stops backward fusions from crossing the
-# block boundary.
+# fusion-context miscompile workaround: the supervised packed bf16 step
+# NaN'd modal2_block1's ENTIRE gradient on real-CHAOS batches at batch 4
+# on the chip, while the mathematically identical computation is clean in
+# isolation, on CPU, in f32, in the plain layout, and at batch 8
+# (experiments/naive_nan_probe{,2,3,4}.py) — the signature of an XLA
+# fusion bug, not numerics. The barrier stops backward fusions from
+# crossing the block boundary; probe4 measured it curing all 8 non-finite
+# gradient leaves with a bit-identical forward loss. Wired to
+# ModelConfig.packed_block_barrier via the model attributes; this module
+# global is a probe/debug override OR'd with the attribute.
 BLOCK_BARRIER = False
 
 
@@ -514,6 +517,7 @@ class PackedConvBlock(nn.Module):
     norm: str = "batch"
     groups: int = 8
     dtype: Dtype = jnp.bfloat16
+    block_barrier: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -548,7 +552,7 @@ class PackedConvBlock(nn.Module):
             y, k2, b2, (2, 2), (2, 2), (-1, -1), (0, 0), (hb, wb), self.dtype
         )
         y = norm_relu_mask(y, "Norm_1", masked=False)
-        if BLOCK_BARRIER:
+        if self.block_barrier or BLOCK_BARRIER:
             y = jax.lax.optimization_barrier(y)
         return y
 
@@ -600,6 +604,7 @@ class _PackedUpBlock4(nn.Module):
     groups: int = 8
     dtype: Dtype = jnp.bfloat16
     remat: bool = False
+    block_barrier: bool = False
 
     @nn.compact
     def __call__(self, skip_packed, x, train: bool = True):
@@ -620,7 +625,7 @@ class _PackedUpBlock4(nn.Module):
         return Block(
             f, 2 * f, self.h, self.w,
             norm=self.norm, groups=self.groups, dtype=self.dtype,
-            name="ConvBlock_0",
+            block_barrier=self.block_barrier, name="ConvBlock_0",
         )(fused, train)
 
 
@@ -642,6 +647,7 @@ class PackedFuseUNet(nn.Module):
     axis_name: Optional[str] = None
     compute_dtype: str = "bfloat16"
     remat: bool = False
+    block_barrier: bool = False
 
     @nn.compact
     def __call__(self, modal1, modal2, train: bool = True):
@@ -654,7 +660,8 @@ class PackedFuseUNet(nn.Module):
             axis_name=self.axis_name,
             dtype=dtype,
         )
-        pcommon = dict(norm=self.norm, groups=self.group_norm_groups, dtype=dtype)
+        pcommon = dict(norm=self.norm, groups=self.group_norm_groups, dtype=dtype,
+                       block_barrier=self.block_barrier)
         PBlock = maybe_remat(PackedConvBlock, self.remat, 2)
         Block = maybe_remat(ConvBlock, self.remat, 2)
         Up = maybe_remat(UpBlock, self.remat, 3)
@@ -728,6 +735,7 @@ class _PackedDownBlock1(nn.Module):
     groups: int = 8
     dtype: Dtype = jnp.bfloat16
     remat: bool = False
+    block_barrier: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -735,7 +743,7 @@ class _PackedDownBlock1(nn.Module):
         return Block(
             self.features, self.cin, self.h, self.w,
             norm=self.norm, groups=self.groups, dtype=self.dtype,
-            name="ConvBlock_0",
+            block_barrier=self.block_barrier, name="ConvBlock_0",
         )(x, train)
 
 
@@ -754,6 +762,7 @@ class PackedUNet(nn.Module):
     axis_name: Optional[str] = None
     compute_dtype: str = "bfloat16"
     remat: bool = False
+    block_barrier: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -778,7 +787,8 @@ class PackedUNet(nn.Module):
         x1p = _PackedDownBlock1(
             w, x.shape[-1], H, W, norm=self.norm,
             groups=self.group_norm_groups,
-            dtype=dtype, remat=self.remat, name="down_block1",
+            dtype=dtype, remat=self.remat,
+            block_barrier=self.block_barrier, name="down_block1",
         )(xp, train)
 
         skips = [x1p]
@@ -806,7 +816,7 @@ class PackedUNet(nn.Module):
         outp = PUp(
             features=w, h=H, w=W, learned_bilinear=self.learned_bilinear,
             norm=self.norm, groups=self.group_norm_groups, dtype=dtype,
-            remat=False, name="up_block4",
+            remat=False, block_barrier=self.block_barrier, name="up_block4",
         )(x1p, out, train)
 
         kh, bh = _ConvParams(1, 1, w, self.num_classes, name="Conv_0")()

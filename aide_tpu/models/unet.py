@@ -101,6 +101,7 @@ def _register_width_variants():
                     group_norm_groups=cfg.group_norm_groups,
                     compute_dtype=cfg.compute_dtype,
                     remat=cfg.remat,
+                    block_barrier=getattr(cfg, "packed_block_barrier", False),
                 )
             return UNet(
                 num_classes=cfg.num_classes,

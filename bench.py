@@ -75,7 +75,7 @@ TASK_POINTS = {
 
 
 def make_config(batch: int, variant: str = "proposed", task: str = "chaos",
-                eval_batch: int = 0):
+                eval_batch: int = 0, block_barrier: bool = False):
     from aide_tpu.core.config import ModelConfig, TrainConfig
 
     pt = TASK_POINTS[task]
@@ -84,6 +84,9 @@ def make_config(batch: int, variant: str = "proposed", task: str = "chaos",
     # lane-dense packed execution of the narrow full-resolution stages
     # (models/packed.py) — numerically identical, measured faster
     cfg.model.packed = True
+    # A/B knob: cost of the packed-block optimization_barrier NaN
+    # workaround (ModelConfig.packed_block_barrier)
+    cfg.model.packed_block_barrier = block_barrier
     cfg.data.task = "synthetic"
     cfg.data.variant = variant
     cfg.data.img_size = pt["img"]
@@ -395,6 +398,9 @@ def main() -> int:
     ap.add_argument("--steps-only", action="store_true",
                     help="report the step-extrapolated metric only (skip "
                          "the timed full epoch)")
+    ap.add_argument("--block-barrier", action="store_true",
+                    help="enable ModelConfig.packed_block_barrier (the "
+                         "packed-block NaN workaround) to measure its cost")
     ap.add_argument("--profile", metavar="DIR",
                     help="wrap the timed epoch in jax.profiler.trace")
     ap.add_argument("--plain-flops-probe", action="store_true",
@@ -454,7 +460,8 @@ def main() -> int:
         return 1
 
     variant = "comparison" if args.supervised else "proposed"
-    cfg = make_config(args.batch, variant, args.task, args.eval_batch)
+    cfg = make_config(args.batch, variant, args.task, args.eval_batch,
+                      args.block_barrier)
     log(f"building trainer ({args.task} point, decode on 1 host core)...")
     trainer = build_trainer(cfg, args.task)
     trainer._bench_task = args.task  # for the plain-flops subprocess probe

@@ -94,6 +94,11 @@ def build_cfg(stage: str, workdir: str, epochs: int,
     cfg.model = ModelConfig(
         name="fuseunet", compute_dtype="bfloat16", packed=True,
         base_width=base_width,
+        # real-CHAOS MRI backgrounds trip an XLA TPU backward-fusion
+        # miscompile in the packed bf16 supervised step (NaN'd gradients,
+        # naive rung trained to 0.0 — chaos_real_ladder_naive_fixed.json);
+        # the block barrier is the measured cure (naive_nan_probe4.py)
+        packed_block_barrier=True,
     )
     cfg.data.task = "chaos"
     cfg.data.variant = "proposed" if stage == "aide" else "comparison"

@@ -136,6 +136,52 @@ def test_packed_remat_matches(rng):
     np.testing.assert_allclose(out_a, out_b, rtol=1e-5, atol=1e-6)
 
 
+def test_block_barrier_is_identity(rng):
+    """ModelConfig.packed_block_barrier (the XLA backward-fusion NaN
+    workaround, models/packed.py BLOCK_BARRIER comment) is semantically the
+    identity: bitwise-equal forward outputs and gradients, same variable
+    tree. On the chip it changes only fusion scope (probe:
+    experiments/naive_nan_probe4.py — barrier cured all 8 non-finite
+    gradient leaves at a bit-identical loss)."""
+    kw = dict(
+        num_classes=2, base_width=8, norm="batch", group_norm_groups=4,
+        compute_dtype="float32",
+    )
+    a = PackedFuseUNet(**kw)
+    b = PackedFuseUNet(block_barrier=True, **kw)
+    x = jnp.zeros((1, 32, 32, 3))
+    v = a.init(jax.random.key(5), x, x, train=False)
+    assert _tree_shapes(v) == _tree_shapes(
+        b.init(jax.random.key(5), x, x, train=False)
+    )
+    m1 = jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
+    m2 = jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
+    t = jnp.asarray(rng.normal(size=(2, 32, 32, 2)), jnp.float32)
+    np.testing.assert_array_equal(
+        a.apply(v, m1, m2, train=False), b.apply(v, m1, m2, train=False)
+    )
+
+    def grads(model):
+        def f(params):
+            out, _ = model.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                m1, m2, train=True, mutable=["batch_stats"],
+            )
+            return jnp.mean((out - t) ** 2)
+        return jax.grad(f)(v["params"])
+
+    jax.tree_util.tree_map(
+        lambda p, q: np.testing.assert_array_equal(p, q),
+        grads(a), grads(b),
+    )
+    # and the config knob reaches the registry-built model
+    cfg = ModelConfig(
+        name="fuseunet", packed=True, compute_dtype="float32",
+        packed_block_barrier=True,
+    )
+    assert build_model(cfg).block_barrier is True
+
+
 def test_packed_under_net_vmap(rng):
     """The dual-net stacked-params vmap (engine/steps.py) over the packed
     model equals per-net application."""
