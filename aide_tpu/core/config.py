@@ -60,8 +60,11 @@ class ModelConfig:
     # packed block's entire gradient on real-CHAOS bf16 batches (clean in
     # isolation / on CPU / in f32 / plain layout — models/packed.py
     # BLOCK_BARRIER comment, experiments/naive_nan_probe4.py). Identity
-    # math; only compiler fusion scope changes.
-    packed_block_barrier: bool = False
+    # math; only compiler fusion scope changes. Default ON: measured cost
+    # is +1.2% step time at the CHAOS point (19.48 vs 19.24 s step-epoch,
+    # experiments/q5/026_barrier_ab.log) vs a silent training-destroying
+    # NaN on real MRI batches without it. Disable for data verified clean.
+    packed_block_barrier: bool = True
 
 
 @dataclass
