@@ -177,7 +177,17 @@ class CoteachConfig:
     tta_bn: str = "batch"
     # run-time engagement guardrail (no analogue in the reference — it has
     # no defense against the transfer cliff its own protocol can hit).
-    # Three oracle-free layers:
+    # Four oracle-free layers:
+    #   0. pre-training bootstrap skill probe (warm-started runs only):
+    #      the seeded nets' case dice on the labeled (clean-GT) cases. In
+    #      the transfer protocol the bootstrap labels ARE the same source
+    #      model's predictions, so this reads the bootstrap quality
+    #      directly — below engagement_min_bootstrap_skill (the ~0.2
+    #      cliff mapped in experiments/RESULTS.md) the refresh loop cannot
+    #      engage and the verdict abstains regardless of how
+    #      self-consistent the ramp-end signals look (the a->b control:
+    #      cross-net agreement 0.97, retention 0.88, outcome 0.19 below
+    #      its own pretrain);
     #   1. structural label half-life check at the FIRST refresh
     #      (refreshable cases / rewrites per epoch >= ~3, else the bootstrap
     #      labels are destroyed before the nets can learn them — the
@@ -194,6 +204,13 @@ class CoteachConfig:
     engagement_check: bool = True
     engagement_min_agreement: float = 0.5
     engagement_fg_band: Tuple[float, float] = (0.2, 5.0)
+    engagement_min_bootstrap_skill: float = 0.2
+    # above the cliff but below this, the margin over pretrain is an
+    # inverted U and can be negative (a->m seed 23: bootstrap 0.318,
+    # +0.073 over naive yet -0.049 vs its own pretrain): the verdict stays
+    # engaged but logs a transition-band caution — validate the deployed
+    # checkpoint against the pretrain before shipping
+    engagement_clear_skill: float = 0.35
 
 
 @dataclass

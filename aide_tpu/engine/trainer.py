@@ -106,6 +106,20 @@ class Trainer:
         # {"crossnet_dice", "fg_ratio1", "fg_ratio2", "engaged"} once the
         # warmup ramp completes, None before
         self.engagement = None
+        # pre-training bootstrap skill probe:
+        # {"bootstrap_skill1", "bootstrap_skill2"}. Two sources:
+        #   - warm-started dual runs measure it themselves (the seeded
+        #     nets' dice on the labeled clean-GT cases, BEFORE the first
+        #     train step — epoch-1 values are already contaminated by
+        #     training on those cases);
+        #   - callers with an external bootstrap-quality estimate (a small
+        #     labeled target validation set; the synthetic protocols feed
+        #     their measured pseudo-label quality) may SET it before
+        #     run() — an externally set probe suppresses the self-measure.
+        # None when no source applies; folded into the end-of-ramp verdict
+        # with a cliff (<min_bootstrap_skill -> abstain) and a transition
+        # band (<clear_skill -> caution) — experiments/RESULTS.md.
+        self.engagement_probe = None
         self._label_fg_cache = None  # per-net label fg totals (see signals)
         # bootstrap working-label snapshot, taken at the FIRST refresh
         # (callers may seed working labels after construction, e.g. the
@@ -573,6 +587,52 @@ class Trainer:
             )
         return ok
 
+    def _bootstrap_skill_probe(self) -> None:
+        """Layer 0 of the engagement guardrail: before the first train
+        step, score the warm-started nets on the labeled (clean-GT) cases.
+        In the transfer protocol (trainprostate_proposed_isbi3ttransfer*)
+        the bootstrap working labels are the SAME source model's
+        predictions on the target, so this dice reads the bootstrap label
+        quality oracle-free — the axis of the ~0.2 engagement cliff
+        (experiments/RESULTS.md). Must run pre-training: after even one
+        epoch the nets have fit the labeled cases and the reading is
+        contaminated upward (a->b control: true skill 0.107, post-epoch-1
+        traincase dice already 0.495)."""
+        cases = sorted(self.label_cases)
+        finish = start_case_evaluation(
+            self.predict_step, self.state, self.train_pipe, cases,
+            self.cfg.data.eval_batch_size, dual=self.dual,
+            target_net="self" if self.dual else None,
+            keep_largest_cc=self.cfg.eval.keep_largest_cc,
+        )
+        res = finish()
+        self.engagement_probe = {
+            f"bootstrap_skill{n + 1}": float(
+                np.mean([r.dice for r in res[n]])
+            )
+            for n in res
+        }
+        ms = self.cfg.coteach.engagement_min_bootstrap_skill
+        vals = tuple(self.engagement_probe.values())
+        if min(vals) < ms:
+            self.logger.warning(
+                "BOOTSTRAP SKILL PROBE below the engagement cliff: "
+                "warm-started nets score %.3f/%.3f case dice on the "
+                "labeled clean cases (threshold %.2f). In the transfer "
+                "protocol this is the bootstrap label quality — below the "
+                "~0.2 cliff the refresh loop cannot mine real quality and "
+                "the end state lands under its own pretrain "
+                "(experiments/RESULTS.md transfer table). RECOMMENDATION: "
+                "abstain — deploy the pretrain/bootstrap weights. The "
+                "end-of-ramp verdict will record engaged=false.",
+                *(list(vals) + [ms]),
+            )
+        else:
+            self.logger.info(
+                "bootstrap skill probe: %.3f/%.3f case dice on labeled "
+                "cases (cliff threshold %.2f)", *(list(vals) + [ms]),
+            )
+
     def _engagement_signals(self, traincase) -> Dict[str, float]:
         """Run-time signals of whether the co-teaching refresh is engaging
         (coteach.engagement_check): cross-net agreement Dice over the
@@ -646,8 +706,36 @@ class Trainer:
             # information cannot have survived the ramp regardless of how
             # self-consistent the nets now look
             ok = False
+        probe_ok = True
+        band = None
+        if self.engagement_probe is not None:
+            eng = dict(eng, **self.engagement_probe)
+            q = min(self.engagement_probe.values())
+            if q < ct.engagement_min_bootstrap_skill:
+                # below the bootstrap-quality cliff the ramp-end
+                # statistical signals are self-consistent but vacuous
+                # (measured a->b control: agreement 0.97, retention 0.88,
+                # outcome 0.19 under its own pretrain) — the probe is the
+                # signal that can actually see it
+                band, probe_ok, ok = "below_cliff", False, False
+            elif q < ct.engagement_clear_skill:
+                band = "transition"
+                self.logger.warning(
+                    "bootstrap quality %.3f is in the transition band "
+                    "[%.2f, %.2f): the margin over pretrain is an inverted "
+                    "U here and can be negative (a->m seed 23: +0.073 over "
+                    "naive, -0.049 vs its own pretrain). CAUTION: validate "
+                    "the deployed checkpoint against the pretrain weights "
+                    "on target validation data before shipping.",
+                    q, ct.engagement_min_bootstrap_skill,
+                    ct.engagement_clear_skill,
+                )
+            else:
+                band = "clear"
         self.engagement = {
             **eng, "engaged": ok, "structural_ok": not self._structural_warned,
+            "bootstrap_skill_ok": probe_ok,
+            **({"bootstrap_band": band} if band else {}),
         }
         if ok:
             self.logger.info(
@@ -911,6 +999,19 @@ class Trainer:
         self.logger.info("Start Training ({})".format(self.cfg.data.task))
         if self.start_epoch:
             self.logger.info("Resuming at epoch %d", self.start_epoch + 1)
+        if (
+            self.dual
+            and self.cfg.coteach.engagement_check
+            and self.engagement_probe is None
+            and self.start_epoch == 0
+            and n > 0
+            and self.cfg.resume_file
+            and not self.cfg.resume_file.endswith("_full.msgpack")
+            and self.label_cases
+        ):
+            # warm-started dual run: measure bootstrap skill before the
+            # first train step (see _bootstrap_skill_probe)
+            self._bootstrap_skill_probe()
         try:
             for epoch in range(self.start_epoch, n):
                 self.run_epoch(epoch)

@@ -181,6 +181,13 @@ def run_stage(stage: str, workdir: str, epochs: int, **cfg_kw) -> dict:
             pipe.labels.refresh_case(net, idxs, pseudo)
         if pipe._device_data is not None:
             pipe.sync_labels_to_device()
+        # feed the measured bootstrap quality (case 10's GT ships — the
+        # practitioner's labeled-validation reading) to the guardrail's
+        # cliff/transition/clear verdict
+        trainer.engagement_probe = {
+            "bootstrap_skill1": initial_quality,
+            "bootstrap_skill2": initial_quality,
+        }
         def on_refresh(epoch):
             g = pipe.targets[idxs]
             q = round(
@@ -215,6 +222,11 @@ def run_stage(stage: str, workdir: str, epochs: int, **cfg_kw) -> dict:
         **(
             {"engagement": trainer.engagement}
             if stage == "aide" and trainer.engagement is not None
+            else {}
+        ),
+        **(
+            {"engagement_probe": trainer.engagement_probe}
+            if stage == "aide" and trainer.engagement_probe is not None
             else {}
         ),
         "final_case10_dice": max(

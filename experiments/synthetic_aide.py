@@ -135,7 +135,7 @@ def make_task(workdir: str, stage: str, num_cases: int):
     )
 
 
-def apply_pseudo_labels(trainer, pretrain_ckpt: str) -> None:
+def apply_pseudo_labels(trainer, pretrain_ckpt: str) -> float:
     """The reference's limited-annotation protocol: the model pretrained on
     the labeled budget annotates every unlabeled case, and those predictions
     become the labels the next stage trains on (the golden
@@ -187,10 +187,12 @@ def apply_pseudo_labels(trainer, pretrain_ckpt: str) -> None:
             # its sharding policy (a bare to_device() would fall back to a
             # single-default-device gather under a multi-device mesh)
             pipe.to_device(trainer.mesh, trainer.cfg.mesh.data_axis)
+    quality = float(np.mean(qs))
     print(
-        json.dumps({"pseudo_label_quality": round(float(np.mean(qs)), 4)}),
+        json.dumps({"pseudo_label_quality": round(quality, 4)}),
         flush=True,
     )
+    return quality
 
 
 def eval_ckpt_on_domain(ckpt_path: str, workdir: str, domain: str) -> float:
@@ -307,7 +309,16 @@ def run(
     trainer = Trainer(cfg, task=task)
     trainer.label_cases = set(task.clean_case_ids())
     if pseudo_from and PROTOCOL in ("pseudo", "transfer"):
-        apply_pseudo_labels(trainer, pseudo_from)
+        q0 = apply_pseudo_labels(trainer, pseudo_from)
+        if trainer.dual:
+            # feed the measured bootstrap quality to the guardrail (the
+            # real-workflow analogue: the practitioner scores the source
+            # model on a couple of labeled target validation cases before
+            # committing to the refresh run) — drives the end-of-ramp
+            # cliff/transition/clear verdict
+            trainer.engagement_probe = {
+                "bootstrap_skill1": q0, "bootstrap_skill2": q0,
+            }
     if trainer.dual:
         # per-refresh label-quality oracle: the working labels must IMPROVE
         # across refreshes for the regime to be healthy (VERDICT r2 #2)
@@ -335,6 +346,11 @@ def run(
         **(
             {"engagement": trainer.engagement}
             if trainer.dual and trainer.engagement is not None
+            else {}
+        ),
+        **(
+            {"engagement_probe": trainer.engagement_probe}
+            if trainer.dual and trainer.engagement_probe is not None
             else {}
         ),
         **(

@@ -409,6 +409,96 @@ class TestEngagementGuardrail:
         assert not tr._engagement_verdict(eng)
         assert tr.engagement["structural_ok"] is False
 
+    def test_bootstrap_skill_probe_folds_into_verdict(self, tmp_path):
+        """Layer 0: a below-cliff bootstrap skill probe forces abstain even
+        when every ramp-end statistical signal is healthy (the a->b
+        transfer control: agreement 0.97, retention 0.88, probe 0.107 —
+        outcome 0.19 below its own pretrain)."""
+        tr = make_trainer(tmp_path)
+        lab_fg = int(np.count_nonzero(tr.train_pipe.labels.get(1)))
+        v = np.zeros((4, 32, 32), np.uint8)
+        v.reshape(-1)[:lab_fg] = 1
+        healthy = self._traincase(tr, v, v.copy())
+        tr.engagement_probe = {
+            "bootstrap_skill1": 0.107, "bootstrap_skill2": 0.11,
+        }
+        eng = tr._engagement_signals(healthy)
+        assert not tr._engagement_verdict(eng)
+        assert tr.engagement["engaged"] is False
+        assert tr.engagement["bootstrap_skill_ok"] is False
+        assert tr.engagement["bootstrap_band"] == "below_cliff"
+        assert tr.engagement["bootstrap_skill1"] == 0.107
+        # transition band [0.2, 0.35): engaged, but flagged for validation
+        # against the pretrain (a->m seed 23 ended -0.049 vs pretrain here)
+        tr2 = make_trainer(tmp_path / "ok")
+        tr2.engagement_probe = {
+            "bootstrap_skill1": 0.31, "bootstrap_skill2": 0.29,
+        }
+        eng2 = tr2._engagement_signals(self._traincase(tr2, v, v.copy()))
+        assert tr2._engagement_verdict(eng2)
+        assert tr2.engagement["bootstrap_skill_ok"] is True
+        assert tr2.engagement["bootstrap_band"] == "transition"
+        # clear of the transition band: no caveat
+        tr3 = make_trainer(tmp_path / "clear")
+        tr3.engagement_probe = {
+            "bootstrap_skill1": 0.5, "bootstrap_skill2": 0.48,
+        }
+        eng3 = tr3._engagement_signals(self._traincase(tr3, v, v.copy()))
+        assert tr3._engagement_verdict(eng3)
+        assert tr3.engagement["bootstrap_band"] == "clear"
+
+    @pytest.mark.slow
+    def test_bootstrap_skill_probe_runs_pre_training(self, tmp_path):
+        """A warm-started dual run with labeled cases measures the probe
+        before the first train step; a fresh-init run does not."""
+        # single-net pretrain -> checkpoint to warm start from
+        pre = make_trainer(tmp_path / "pre", variant="comparison", noisy=0.0)
+        pre.run(1)
+        pre.flush_checkpoints()
+        ckdir = pre.cfg.checkpoint_dir
+        ck = [
+            os.path.join(ckdir, f) for f in os.listdir(ckdir)
+            if f.endswith("besttraincasedice.msgpack")
+        ][0]
+
+        cfg = small_cfg(tmp_path / "dual", resume_file=ck)
+        task = SyntheticTask(
+            root=str(tmp_path / "dual" / "synth"),
+            tempmask_folder="tempmasks",
+            num_cases=4, slices_per_case=4, size=32,
+            noisy_fraction=0.5, clean_cases=2, seed=3,
+        )
+        tr = Trainer(cfg, task=task)
+        # the synthetic protocols patch the exempt set post-construction
+        # (experiments/synthetic_aide.py:308) — run() reads it at probe time
+        tr.label_cases = set(task.clean_case_ids())
+        assert tr.label_cases  # clean cases are the probe's GT anchor
+        probed = {}
+        orig = tr._train_epoch
+
+        def spy(epoch, rate):
+            # the probe must exist BEFORE the first train step
+            probed.setdefault("at_first_step", tr.engagement_probe)
+            return orig(epoch, rate)
+
+        tr._train_epoch = spy
+        tr.run(2)
+        probe = probed["at_first_step"]
+        assert probe is not None and set(probe) == {
+            "bootstrap_skill1", "bootstrap_skill2",
+        }
+        assert all(0.0 <= v <= 1.0 for v in probe.values())
+        # the ramp-end verdict carries the probe fields
+        assert tr.engagement["bootstrap_skill1"] == probe["bootstrap_skill1"]
+        assert tr.engagement["bootstrap_skill_ok"] == (
+            min(probe.values())
+            >= cfg.coteach.engagement_min_bootstrap_skill
+        )
+        # fresh-init run: no probe
+        fresh = make_trainer(tmp_path / "fresh")
+        fresh.run(1)
+        assert fresh.engagement_probe is None
+
     @pytest.mark.slow
     def test_bootstrap_snapshot_taken_at_first_refresh(self, tmp_path):
         """The fg-ratio / retention reference is the PRE-first-refresh
