@@ -26,7 +26,11 @@ def _build_config(args) -> TrainConfig:
     else:
         cfg = TrainConfig()
     if args.set:
-        cfg = cfg.override(args.set)
+        # --set is repeatable (action="append" + nargs="*" gives a list of
+        # lists); flatten so `--set a=1 --set b=2` applies both instead of
+        # silently keeping only the last flag
+        flat = [kv for group in args.set for kv in group]
+        cfg = cfg.override(flat)
     return cfg
 
 
@@ -35,8 +39,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--config", help="path to a TrainConfig JSON file")
     p.add_argument("--data-root", default=".", help="directory containing the dataset folders")
     p.add_argument(
-        "--set", nargs="*", default=[], metavar="KEY=VALUE",
-        help="dotted config overrides, e.g. optim.lr=3e-4 data.batch_size=8",
+        "--set", nargs="*", action="append", default=[], metavar="KEY=VALUE",
+        help="dotted config overrides, e.g. optim.lr=3e-4 data.batch_size=8 "
+        "(repeatable; all occurrences apply)",
     )
 
 
@@ -112,7 +117,7 @@ def _setup_inference(cfg, checkpoint: str):
     from aide_tpu.data.tasks import build_task
     from aide_tpu.engine import steps as steps_mod
     from aide_tpu.engine.state import TrainState
-    from aide_tpu.models import build_model
+    from aide_tpu.models import build_eval_model
     from aide_tpu.ops.schedules import make_optimizer
     import jax
     import jax.numpy as jnp
@@ -124,7 +129,9 @@ def _setup_inference(cfg, checkpoint: str):
     )
     if cfg.data.device_cache in ("on", "auto"):
         pipe.to_device()
-    model = build_model(cfg.model)
+    # inference never differentiates: the barrier-free twin keeps the
+    # predict programs fully fusible (models.build_eval_model)
+    model = build_eval_model(cfg.model)
     s = cfg.data.img_size
     dummy = (jnp.zeros((1, s, s, 3)),) * (2 if task.two_modal else 1)
     variables = model.init(jax.random.key(0), *dummy, train=False)
@@ -228,14 +235,15 @@ def cmd_export(args) -> int:
     serving artifact (--format serve, aide_tpu/interop/serving.py)."""
     cfg = _build_config(args)
     from aide_tpu.engine import checkpoint as ckpt_mod
-    from aide_tpu.models import build_model, is_two_modal
+    from aide_tpu.models import build_eval_model, is_two_modal
     import jax
     import jax.numpy as jnp
 
     if not args.checkpoint or not args.output:
         print("error: export needs --checkpoint and --output", file=sys.stderr)
         return 2
-    model = build_model(cfg.model)
+    # exported artifacts serve forward-only: no barrier (build_eval_model)
+    model = build_eval_model(cfg.model)
     s = cfg.data.img_size
     two_modal = is_two_modal(cfg.model.name)
     dummy = (jnp.zeros((1, s, s, 3)),) * (2 if two_modal else 1)

@@ -48,7 +48,7 @@ from aide_tpu.engine import checkpoint as ckpt
 from aide_tpu.engine import steps as steps_mod
 from aide_tpu.engine.state import DualTrainState, TrainState
 from aide_tpu.evaluation.case_eval import start_case_evaluation
-from aide_tpu.models import build_model
+from aide_tpu.models import build_eval_model, build_model
 from aide_tpu.ops.schedules import make_optimizer, rate_schedule
 
 
@@ -278,8 +278,13 @@ class Trainer:
         # nets shard over a 'net' axis when the mesh has one (model parallel)
         self.state = place_state(self.state, self.mesh, dual=self.dual)
 
+        # forward-only programs (eval/predict) use the barrier-free twin:
+        # the packed block barrier only guards the *backward* pass, and in
+        # the lax.map inference programs it just blocks fusion (measured as
+        # an inflated epoch tail, experiments/bench_r5_repeats.jsonl).
+        self.eval_model = build_eval_model(cfg.model)
         self.eval_step = steps_mod.make_eval_step(
-            self.model, self.two_modal, cfg, dual=self.dual
+            self.eval_model, self.two_modal, cfg, dual=self.dual
         )
         self.augment_batch = (
             steps_mod.make_augment_batch(cfg, self.two_modal)
@@ -287,14 +292,14 @@ class Trainer:
             else None
         )
         self.predict_step = steps_mod.make_predict_step(
-            self.model, self.two_modal, dual=self.dual
+            self.eval_model, self.two_modal, dual=self.dual
         )
         # whole-eval-set inference as one device program (single-device
         # resident data only — on a sharded cache the per-batch predict
         # path reuses the explicit distributed gather instead); None falls
         # back to per-batch dispatch
         self.predict_all = (
-            steps_mod.make_predict_all(self.model, self.two_modal, self.dual)
+            steps_mod.make_predict_all(self.eval_model, self.two_modal, self.dual)
             if self.device_resident and self.mesh.devices.size == 1
             else None
         )
@@ -305,7 +310,7 @@ class Trainer:
         # dual eval criterion is already per-image, so the ragged final
         # batch masks exactly (engine/steps.make_eval_predict_all).
         self.eval_predict_all = (
-            steps_mod.make_eval_predict_all(self.model, self.two_modal, cfg)
+            steps_mod.make_eval_predict_all(self.eval_model, self.two_modal, cfg)
             if self.dual and self.predict_all is not None
             else None
         )

@@ -101,6 +101,22 @@ def test_eval_requires_checkpoint(tmp_path):
     assert rc == 2
 
 
+def test_repeated_set_flags_all_apply():
+    """`--set a=1 --set b=2` must apply BOTH groups: argparse nargs="*"
+    without action="append" silently kept only the last --set flag."""
+    import argparse
+
+    from aide_tpu.cli.main import _build_config
+
+    ns = argparse.Namespace(
+        config=None, preset="synthetic_supervised", data_root=".",
+        set=[["num_epochs=7"], ["data.img_size=48"]],
+    )
+    cfg = _build_config(ns)
+    assert cfg.num_epochs == 7
+    assert cfg.data.img_size == 48
+
+
 def test_presets_command(capsys):
     assert main(["presets"]) == 0
     out = capsys.readouterr().out

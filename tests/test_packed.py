@@ -180,6 +180,43 @@ def test_block_barrier_is_identity(rng):
         packed_block_barrier=True,
     )
     assert build_model(cfg).block_barrier is True
+    # ...but forward-only programs get the barrier-free twin: the barrier
+    # guards a backward-fusion miscompile, and eval/predict never
+    # differentiate — paying its fusion cost there inflated the epoch tail
+    # (experiments/bench_r5_repeats.jsonl, 29.5 s vs 23.15 s)
+    from aide_tpu.models import build_eval_model
+
+    assert build_eval_model(cfg).block_barrier is False
+
+
+def test_trainer_eval_model_drops_barrier(tmp_path):
+    """Trainer scopes the packed block barrier to the train step: the
+    eval/predict model twin must have it off while the train model keeps
+    the configured value (same params — test_block_barrier_is_identity
+    pins that the twin is numerically the identical network)."""
+    from aide_tpu.core.config import TrainConfig
+    from aide_tpu.data.tasks.synthetic import SyntheticTask
+    from aide_tpu.engine.trainer import Trainer
+
+    cfg = TrainConfig()
+    cfg.model = ModelConfig(
+        name="unet4", compute_dtype="float32", packed=True,
+        packed_block_barrier=True,
+    )
+    cfg.data.task = "synthetic"
+    cfg.data.variant = "proposed"
+    cfg.data.img_size = 32
+    cfg.data.batch_size = 4
+    cfg.data.eval_batch_size = 4
+    cfg.checkpoint_dir = str(tmp_path / "ckpt")
+    cfg.history_dir = str(tmp_path / "hist")
+    task = SyntheticTask(
+        root=str(tmp_path / "synth"), tempmask_folder="tempmasks",
+        num_cases=4, slices_per_case=4, size=32, seed=3,
+    )
+    t = Trainer(cfg, task=task)
+    assert t.model.block_barrier is True
+    assert t.eval_model.block_barrier is False
 
 
 def test_packed_under_net_vmap(rng):
