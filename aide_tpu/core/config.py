@@ -65,6 +65,15 @@ class ModelConfig:
     # experiments/q5/026_barrier_ab.log) vs a silent training-destroying
     # NaN on real MRI batches without it. Disable for data verified clean.
     packed_block_barrier: bool = True
+    # which packed blocks the fence covers. The miscompile has only ever
+    # been observed in the ENCODER block-1 backward (modal2_block1's
+    # gradient), and the scope bisect (experiments/naive_nan_probe5.py)
+    # shows fencing that block alone cures it while up_block4's fence
+    # cures nothing — it is pure fusion cost on the largest packed
+    # activation. "encoder" (default) fences the block-1 stage only;
+    # "all" additionally fences up_block4's conv block (the round-5
+    # pre-bisect behavior, kept for paranoid configs).
+    packed_block_barrier_scope: str = "encoder"  # encoder | all
 
 
 @dataclass

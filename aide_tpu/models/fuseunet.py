@@ -130,6 +130,9 @@ def _register():
                     compute_dtype=cfg.compute_dtype,
                     remat=cfg.remat,
                     block_barrier=getattr(cfg, "packed_block_barrier", False),
+                    barrier_scope=getattr(
+                        cfg, "packed_block_barrier_scope", "encoder"
+                    ),
                 )
             return FuseUNet(
                 num_classes=cfg.num_classes,

@@ -217,6 +217,30 @@ FUSE_UPSAMPLE = False
 # global is a probe/debug override OR'd with the attribute.
 BLOCK_BARRIER = False
 
+# Probe/debug refinement of the fence's SCOPE: when not None, the barrier
+# (however enabled) applies only to PackedConvBlocks whose module name is
+# in this set (FuseUNet names: modal1_block1 / modal2_block1 / up_block4's
+# inner "ConvBlock_0") — used by experiments/naive_nan_probe5.py to bisect
+# which fence the miscompile actually needs. None = fence every block.
+BLOCK_BARRIER_ONLY = None
+
+
+def _up4_barrier(enabled: bool, scope: str) -> bool:
+    """Whether up_block4's conv block gets the fence under ``scope``.
+
+    The probe5 bisect showed the miscompile needs only the encoder
+    block-1 fence (fencing modal2_block1 alone cures all 8 non-finite
+    gradient leaves; fencing up_block4 alone cures none), so the default
+    scope "encoder" leaves the decoder's largest packed activation fully
+    fusible. "all" restores the round-5 pre-bisect fence-everything
+    behavior."""
+    if scope not in ("encoder", "all"):
+        raise ValueError(
+            f"unknown packed_block_barrier_scope {scope!r}; "
+            "expected 'encoder' or 'all'"
+        )
+    return enabled and scope == "all"
+
 
 @lru_cache(maxsize=None)
 def _up_tap_table() -> np.ndarray:
@@ -552,7 +576,9 @@ class PackedConvBlock(nn.Module):
             y, k2, b2, (2, 2), (2, 2), (-1, -1), (0, 0), (hb, wb), self.dtype
         )
         y = norm_relu_mask(y, "Norm_1", masked=False)
-        if self.block_barrier or BLOCK_BARRIER:
+        if (self.block_barrier or BLOCK_BARRIER) and (
+            BLOCK_BARRIER_ONLY is None or self.name in BLOCK_BARRIER_ONLY
+        ):
             y = jax.lax.optimization_barrier(y)
         return y
 
@@ -648,6 +674,7 @@ class PackedFuseUNet(nn.Module):
     compute_dtype: str = "bfloat16"
     remat: bool = False
     block_barrier: bool = False
+    barrier_scope: str = "encoder"  # encoder | all (see _up4_barrier)
 
     @nn.compact
     def __call__(self, modal1, modal2, train: bool = True):
@@ -710,7 +737,9 @@ class PackedFuseUNet(nn.Module):
         PUp = maybe_remat(_PackedUpBlock4, self.remat, 3)
         outp = PUp(
             features=2 * w, h=H, w=W, learned_bilinear=self.learned_bilinear,
-            remat=False, name="up_block4", **pcommon,
+            remat=False, name="up_block4",
+            **dict(pcommon, block_barrier=_up4_barrier(
+                self.block_barrier, self.barrier_scope)),
         )(f1p, out, train)
 
         # ---- 1x1 head on the packed tensor (block-diagonal over phases) ----
@@ -763,6 +792,7 @@ class PackedUNet(nn.Module):
     compute_dtype: str = "bfloat16"
     remat: bool = False
     block_barrier: bool = False
+    barrier_scope: str = "encoder"  # encoder | all (see _up4_barrier)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -816,7 +846,9 @@ class PackedUNet(nn.Module):
         outp = PUp(
             features=w, h=H, w=W, learned_bilinear=self.learned_bilinear,
             norm=self.norm, groups=self.group_norm_groups, dtype=dtype,
-            remat=False, block_barrier=self.block_barrier, name="up_block4",
+            remat=False,
+            block_barrier=_up4_barrier(self.block_barrier, self.barrier_scope),
+            name="up_block4",
         )(x1p, out, train)
 
         kh, bh = _ConvParams(1, 1, w, self.num_classes, name="Conv_0")()

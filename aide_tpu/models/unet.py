@@ -102,6 +102,9 @@ def _register_width_variants():
                     compute_dtype=cfg.compute_dtype,
                     remat=cfg.remat,
                     block_barrier=getattr(cfg, "packed_block_barrier", False),
+                    barrier_scope=getattr(
+                        cfg, "packed_block_barrier_scope", "encoder"
+                    ),
                 )
             return UNet(
                 num_classes=cfg.num_classes,

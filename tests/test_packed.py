@@ -6,6 +6,8 @@ BatchNorm statistic updates, identical gradients — only the execution
 layout differs. Any placement-map or boundary-mask bug breaks these pins.
 """
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -187,6 +189,66 @@ def test_block_barrier_is_identity(rng):
     from aide_tpu.models import build_eval_model
 
     assert build_eval_model(cfg).block_barrier is False
+
+
+def test_barrier_scope(rng):
+    """packed_block_barrier_scope bounds WHICH blocks get the fence.
+
+    The probe5 bisect (experiments/naive_nan_probe5.py, q5/10): fencing
+    modal2_block1 alone cures all 8 non-finite gradient leaves of the
+    chip miscompile; fencing up_block4 alone cures none. So "encoder"
+    (default) fences the two block-1 stages only, "all" also fences
+    up_block4's conv block. Pin the traced barrier counts, the identity
+    semantics across scopes, and the unknown-scope rejection."""
+    kw = dict(
+        num_classes=2, base_width=8, norm="batch", group_norm_groups=4,
+        compute_dtype="float32",
+    )
+    x = jnp.zeros((1, 32, 32, 3))
+
+    def n_barriers(model, nargs):
+        v = model.init(jax.random.key(5), *([x] * nargs), train=False)
+        jaxpr = jax.make_jaxpr(
+            lambda *a: model.apply(v, *a, train=False)
+        )(*([x] * nargs))
+        return str(jaxpr).count("optimization_barrier")
+
+    assert n_barriers(PackedFuseUNet(block_barrier=True, **kw), 2) == 2
+    assert n_barriers(
+        PackedFuseUNet(block_barrier=True, barrier_scope="all", **kw), 2
+    ) == 3
+    assert n_barriers(PackedFuseUNet(block_barrier=False, **kw), 2) == 0
+    from aide_tpu.models.packed import PackedUNet
+
+    assert n_barriers(PackedUNet(block_barrier=True, **kw), 1) == 1
+    assert n_barriers(
+        PackedUNet(block_barrier=True, barrier_scope="all", **kw), 1
+    ) == 2
+
+    # scope never changes values (the fence is the identity)
+    m1 = jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
+    m2 = jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
+    enc = PackedFuseUNet(block_barrier=True, **kw)
+    al = PackedFuseUNet(block_barrier=True, barrier_scope="all", **kw)
+    v = enc.init(jax.random.key(5), x, x, train=False)
+    np.testing.assert_array_equal(
+        enc.apply(v, m1, m2, train=False), al.apply(v, m1, m2, train=False)
+    )
+
+    with pytest.raises(ValueError, match="packed_block_barrier_scope"):
+        PackedFuseUNet(
+            block_barrier=True, barrier_scope="bogus", **kw
+        ).init(jax.random.key(5), x, x, train=False)
+
+    # the config knob reaches the registry-built models
+    cfg = ModelConfig(
+        name="fuseunet", packed=True, compute_dtype="float32",
+        packed_block_barrier=True, packed_block_barrier_scope="all",
+    )
+    assert build_model(cfg).barrier_scope == "all"
+    assert build_model(
+        dataclasses.replace(cfg, packed_block_barrier_scope="encoder")
+    ).barrier_scope == "encoder"
 
 
 def test_trainer_eval_model_drops_barrier(tmp_path):
